@@ -115,6 +115,12 @@ class LimbField:
         # -p^-1 mod 2^16 (digit-serial Montgomery constant)
         self.inv16 = (-pow(modulus, -1, 1 << 16)) % (1 << 16)
 
+        # full-width Montgomery constant: N' = -p^-1 mod R  (separated REDC)
+        self.nprime = (-pow(modulus, -1, self.R)) % self.R
+        self.nprime_limbs_u = jnp.asarray(
+            int_to_limbs(self.nprime, n_limbs), dtype=U32
+        )
+
         self.p_np = int_to_limbs(modulus, n_limbs)
         self.p_limbs = jnp.asarray(self.p_np, dtype=I32)
         self.p_limbs_u = jnp.asarray(self.p_np, dtype=U32)
@@ -154,97 +160,106 @@ class LimbField:
     def decode_plain(self, arr) -> list:
         return limbs_to_ints(np.asarray(arr))
 
-    # -- limb plumbing -----------------------------------------------------
-    def _carry(self, cols):
-        """Propagate carries over a list of (...,) int32 columns.
-
-        Accepts signed columns (borrows propagate via arithmetic shift).
-        Returns (limbs list canonicalized to 16 bits, final carry).
-        """
-        out = []
-        carry = None
-        for c in cols:
-            v = c if carry is None else c + carry
-            carry = v >> 16
-            out.append(v & MASK16)
-        return out, carry
-
-    def _stack(self, cols):
-        return jnp.stack(cols, axis=-1)
-
-    def _cond_sub_p(self, limbs_cols):
-        """Given canonical-limb columns of a value < 2p, reduce mod p."""
-        d_cols = [limbs_cols[i] - int(self.p_np[i]) for i in range(self.K)]
-        d, borrow = self._carry(d_cols)
-        t = self._stack(limbs_cols)
-        d = self._stack(d)
-        ge_p = (borrow == 0)[..., None]
-        return jnp.where(ge_p, d, t)
-
     # -- ring ops ----------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def add(self, a, b):
-        cols = [a[..., i] + b[..., i] for i in range(self.K)]
-        limbs, carry = self._carry(cols)
-        # a,b < p  =>  sum < 2p < 2^(16K): carry is 0
-        return self._cond_sub_p(limbs)
+        # a,b < p  =>  sum < 2p < 2^(16K): top carry is 0
+        return self._cond_sub_p_arr(self._carry_scan(a + b))
 
     @partial(jax.jit, static_argnums=0)
     def sub(self, a, b):
-        cols = [a[..., i] - b[..., i] + int(self.p_np[i]) for i in range(self.K)]
-        limbs, carry = self._carry(cols)
-        return self._cond_sub_p(limbs)
+        return self._cond_sub_p_arr(self._carry_scan(a - b + self.p_limbs))
 
     @partial(jax.jit, static_argnums=0)
     def neg(self, a):
-        cols = [int(self.p_np[i]) - a[..., i] for i in range(self.K)]
-        limbs, carry = self._carry(cols)
-        return self._cond_sub_p(limbs)
+        return self._cond_sub_p_arr(self._carry_scan(self.p_limbs - a))
 
     def double(self, a):
         return self.add(a, a)
 
+    # -- wide product / carry plumbing (array form) ------------------------
+    def _wide_mul_cols(self, au, bu, out_cols: int):
+        """Column-form product of two K-limb u32 arrays.
+
+        Returns (..., out_cols) int32 columns (uncarried, each < 2K·2^16):
+        column c holds Σ_{i+j=c} lo(a_i b_j) + Σ_{i+j=c-1} hi(a_i b_j).
+        The (..., K, K) half-products are built once and combined with K
+        static pads + one sum — ~4K HLO ops instead of K² scatter-adds, which
+        keeps XLA compile time sane (the hot path repeats this thousands of
+        times inside provers).
+        """
+        K = self.K
+        prod = au[..., :, None] * bu[..., None, :]  # (..., K, K) u32 exact
+        lo = (prod & MASK16).astype(I32)
+        hi = (prod >> 16).astype(I32)
+        rows = []
+        for i in range(K):
+            # row i contributes lo at offset i, hi at offset i+1
+            r = jnp.pad(lo[..., i, :], [(0, 0)] * (lo.ndim - 2) + [(i, out_cols - K - i)])
+            r = r + jnp.pad(
+                hi[..., i, :], [(0, 0)] * (hi.ndim - 2) + [(i + 1, out_cols - K - i - 1)]
+            )
+            rows.append(r)
+        return sum(rows)
+
+    def _carry_scan(self, cols, drop_low: int = 0):
+        """Carry-propagate (..., C) int32 columns via lax.scan.
+
+        Returns (..., C - drop_low) canonical 16-bit limbs; the first
+        ``drop_low`` columns are consumed into the carry only (used for the
+        REDC divide-by-R step). Final carry out is discarded (callers
+        guarantee the value fits).
+        """
+        C = cols.shape[-1]
+        xs = jnp.moveaxis(cols, -1, 0)  # (C, ...)
+
+        def body(carry, c):
+            v = c + carry
+            return v >> 16, v & MASK16
+
+        carry0 = jnp.zeros_like(xs[0])
+        if drop_low:
+            def body_drop(carry, c):
+                return (c + carry) >> 16, None
+
+            carry0, _ = jax.lax.scan(body_drop, carry0, xs[:drop_low])
+        _, limbs = jax.lax.scan(body, carry0, xs[drop_low:])
+        return jnp.moveaxis(limbs, 0, -1)
+
+    def _cond_sub_p_arr(self, t):
+        """Canonical-limb (..., K) array of a value < 2p -> mod p."""
+        d_cols = t - self.p_limbs
+        xs = jnp.moveaxis(d_cols, -1, 0)
+
+        def body(borrow, c):
+            v = c + borrow
+            return v >> 16, v & MASK16
+
+        borrow, d = jax.lax.scan(body, jnp.zeros_like(xs[0]), xs)
+        d = jnp.moveaxis(d, 0, -1)
+        return jnp.where((borrow == 0)[..., None], d, t)
+
     # -- Montgomery multiply ----------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def mont_mul(self, a, b):
-        """Montgomery product: a*b*R^-1 mod p. a, b canonical Montgomery form."""
+        """Montgomery product a·b·R⁻¹ mod p (separated REDC).
+
+        T = a·b;  m = (T mod R)·N' mod R;  res = (T + m·p) / R;  res < 2p.
+        All three wide products are the vectorized column form; the three
+        carry chains are lax.scan — the whole op is ~10² HLO ops regardless
+        of K, and fuses to pure VPU code on TPU.
+        """
         K = self.K
         au = a.astype(U32)
         bu = b.astype(U32)
-        ncols = 2 * K + 1
-        cols = [None] * ncols
-
-        def acc(idx, val):
-            cols[idx] = val if cols[idx] is None else cols[idx] + val
-
-        # schoolbook product, half-word split so every column stays « 2^31
-        for i in range(K):
-            prod = au[..., i : i + 1] * bu  # (..., K) u32 exact
-            lo = (prod & MASK16).astype(I32)
-            hi = (prod >> 16).astype(I32)
-            for j in range(K):
-                acc(i + j, lo[..., j])
-                acc(i + j + 1, hi[..., j])
-        zeros = jnp.zeros_like(cols[0])
-        cols = [c if c is not None else zeros for c in cols]
-
-        # digit-serial Montgomery reduction, 16-bit digits
-        inv16 = np.uint32(self.inv16)
-        for i in range(K):
-            m = (cols[i].astype(U32) * inv16) & MASK16  # mod 2^16: wrap-safe
-            prod = m[..., None] * self.p_limbs_u  # (..., K) u32 exact
-            lo = (prod & MASK16).astype(I32)
-            hi = (prod >> 16).astype(I32)
-            for j in range(K):
-                cols[i + j] = cols[i + j] + lo[..., j]
-                cols[i + j + 1] = cols[i + j + 1] + hi[..., j]
-            # column i is ≡ 0 mod 2^16 now; push its carry up and drop it
-            cols[i + 1] = cols[i + 1] + (cols[i] >> 16)
-
-        # fold the 2K-th column in before propagating: the result (ab+mN)/R is
-        # < 2p < 2^(16K), so after carry propagation nothing escapes limb K-1
-        limbs, _ = self._carry(cols[K : 2 * K - 1] + [cols[2 * K - 1] + (cols[2 * K] << 16)])
-        return self._cond_sub_p(limbs)
+        t_cols = self._wide_mul_cols(au, bu, 2 * K + 1)
+        t = self._carry_scan(t_cols)  # (..., 2K+1) canonical; top col absorbs carry
+        m_cols = self._wide_mul_cols(t[..., :K].astype(U32), self.nprime_limbs_u, 2 * K + 1)
+        m = self._carry_scan(m_cols)[..., :K]  # mod R
+        u_cols = self._wide_mul_cols(m.astype(U32), self.p_limbs_u, 2 * K + 1)
+        s = t + u_cols  # (..., 2K+1); columns < 2^17ish
+        res = self._carry_scan(s, drop_low=K)[..., :K]
+        return self._cond_sub_p_arr(res)
 
     @partial(jax.jit, static_argnums=0)
     def mont_sqr(self, a):

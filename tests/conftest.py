@@ -1,11 +1,19 @@
-"""Test configuration: force an 8-virtual-device CPU platform.
+"""Test configuration.
 
-Multi-chip sharding is tested on a virtual CPU mesh (no multi-chip TPU
-hardware available); the driver separately dry-runs the multichip path.
+Tests run on CPU with a single device: this box has one core, and XLA-CPU
+compile times scale with the virtual device count, so forcing 8 devices
+globally would multiply every compile by ~8x. Multi-chip sharding tests
+(test_parallel.py) spawn a subprocess with
+``--xla_force_host_platform_device_count=8`` instead; the driver's
+``__graft_entry__.dryrun_multichip`` does the same for the full prover step.
 """
+
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

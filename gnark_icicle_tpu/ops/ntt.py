@@ -1,0 +1,192 @@
+"""Number-theoretic transform over the scalar field (device, jnp).
+
+Role parity: gnark-crypto's ``fft.Domain`` + ICICLE's NTT/INTT kernels
+(reference call sites: backend/groth16/bn254/prove.go:356-399 computeH's 7
+full-domain FFTs; icicle.go:453-513 on-device; twiddle upload icicle.go:68-84).
+
+TPU-first design decisions:
+
+* Radix-2 butterflies are expressed as *reshapes + slices*, never gathers:
+  stage ``m`` views the (N, K) limb array as (N/2m, 2, m, K) and does one
+  batched field add/sub/mul across the whole array. XLA turns each stage
+  into a handful of fused VPU loops.
+* Transforms come in DIF (natural -> bit-reversed) and DIT (bit-reversed ->
+  natural) flavors. Pipelines pair them so **no bit-reversal permutation is
+  ever materialized** (INTT_dif then NTT_dit); where the reference needed an
+  explicit device pass (``ReverseScalars``, icicle.go:502-510), we instead
+  bit-reverse the *setup* tables once on the host (as gnark does for the Z
+  points, setup.go:265).
+* All twiddle stages are strided views of one (N/2, K) table, generated on
+  device in log N steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import LimbField, I32
+
+
+def bitrev_indices(n: int) -> np.ndarray:
+    """Bit-reversal permutation indices for size n = 2^k."""
+    k = n.bit_length() - 1
+    idx = np.arange(n)
+    out = np.zeros(n, dtype=np.int64)
+    for _ in range(k):
+        out = (out << 1) | (idx & 1)
+        idx >>= 1
+    return out
+
+
+def _pow_table(F: LimbField, base_mont, n: int):
+    """[base^0, base^1, ..., base^(n-1)] in Montgomery form, log-depth."""
+    table = F.ones_mont((1,)).astype(I32)
+    cur = base_mont[None, :]  # base^(2^j) ladder head
+    while table.shape[0] < n:
+        m = table.shape[0]
+        step = cur  # base^m
+        nxt = F.mont_mul(table, jnp.broadcast_to(step, table.shape))
+        table = jnp.concatenate([table, nxt], axis=0)
+        cur = F.mont_mul(step, step)
+    return table[:n]
+
+
+class Domain:
+    """Evaluation domain of size 2^log_n over a LimbField scalar field.
+
+    Holds forward/inverse twiddle tables and coset scaling tables
+    (coset generator = the field's multiplicative generator, matching the
+    reference's use of the fr generator for the Groth16 H-coset).
+    """
+
+    _cache: dict = {}
+
+    def __new__(cls, F: LimbField, log_n: int, two_adic_root: int, coset_gen: int = None):
+        key = (F.modulus, F.K, log_n, coset_gen)
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        cls._cache[key] = self
+        return self
+
+    def __init__(self, F: LimbField, log_n: int, two_adic_root: int, coset_gen: int = None):
+        """two_adic_root: primitive 2^log_n-th root of unity (host int)."""
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.F = F
+        self.log_n = log_n
+        self.n = 1 << log_n
+        q = F.modulus
+        self.omega = two_adic_root
+        assert pow(two_adic_root, self.n, q) == 1
+        if self.n > 1:
+            assert pow(two_adic_root, self.n // 2, q) == q - 1
+
+        w = jnp.asarray(F.encode([two_adic_root])[0], dtype=I32)
+        wi = jnp.asarray(F.encode([pow(two_adic_root, -1, q)])[0], dtype=I32)
+        half = max(self.n // 2, 1)
+        self.tw_fwd = _pow_table(F, w, half)  # (N/2, K)
+        self.tw_inv = _pow_table(F, wi, half)
+        self.n_inv = jnp.asarray(F.encode([pow(self.n, -1, q)])[0], dtype=I32)
+
+        self.coset_gen = coset_gen
+        if coset_gen is not None:
+            g = jnp.asarray(F.encode([coset_gen])[0], dtype=I32)
+            gi = jnp.asarray(F.encode([pow(coset_gen, -1, q)])[0], dtype=I32)
+            self.coset_pows = _pow_table(F, g, self.n)  # g^i, natural order
+            self.coset_inv_pows = _pow_table(F, gi, self.n)
+        self._rev = jnp.asarray(bitrev_indices(self.n))
+
+    # -- core butterflies ---------------------------------------------------
+    def _dif(self, x, tw):
+        """Natural-order input -> bit-reversed output (decimation in freq)."""
+        F, n = self.F, self.n
+        for m in [1 << s for s in range(self.log_n - 1, -1, -1)]:
+            stride = n // (2 * m)
+            w = tw[::stride][:m]  # (m, K): omega^(j*stride)
+            v = x.reshape(-1, 2, m, F.K)
+            a, b = v[:, 0], v[:, 1]
+            s = F.add(a, b)
+            d = F.mont_mul(F.sub(a, b), jnp.broadcast_to(w, a.shape))
+            x = jnp.stack([s, d], axis=1).reshape(-1, F.K)
+        return x
+
+    def _dit(self, x, tw):
+        """Bit-reversed input -> natural-order output (decimation in time)."""
+        F, n = self.F, self.n
+        for m in [1 << s for s in range(self.log_n)]:
+            stride = n // (2 * m)
+            w = tw[::stride][:m]
+            v = x.reshape(-1, 2, m, F.K)
+            a = v[:, 0]
+            b = F.mont_mul(v[:, 1], jnp.broadcast_to(w, v[:, 1].shape))
+            x = jnp.stack([F.add(a, b), F.sub(a, b)], axis=1).reshape(-1, F.K)
+        return x
+
+    # -- public transforms ---------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def ntt_nat_to_rev(self, coeffs):
+        """coefficients (natural) -> evaluations (bit-reversed)."""
+        return self._dif(coeffs, self.tw_fwd)
+
+    @partial(jax.jit, static_argnums=0)
+    def ntt_rev_to_nat(self, coeffs_rev):
+        """coefficients (bit-reversed) -> evaluations (natural)."""
+        return self._dit(coeffs_rev, self.tw_fwd)
+
+    @partial(jax.jit, static_argnums=0)
+    def intt_nat_to_rev(self, evals):
+        """evaluations (natural) -> coefficients (bit-reversed), incl. 1/N."""
+        x = self._dif(evals, self.tw_inv)
+        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+
+    @partial(jax.jit, static_argnums=0)
+    def intt_rev_to_nat(self, evals_rev):
+        """evaluations (bit-reversed) -> coefficients (natural), incl. 1/N."""
+        x = self._dit(evals_rev, self.tw_inv)
+        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+
+    # -- natural-order conveniences (one device gather) ----------------------
+    def bit_reverse(self, x):
+        return jnp.take(x, self._rev, axis=0)
+
+    @partial(jax.jit, static_argnums=0)
+    def ntt(self, coeffs):
+        """natural -> natural forward transform."""
+        return self.bit_reverse(self.ntt_nat_to_rev(coeffs))
+
+    @partial(jax.jit, static_argnums=0)
+    def intt(self, evals):
+        """natural -> natural inverse transform."""
+        return self.bit_reverse(self.intt_nat_to_rev(evals))
+
+    # -- coset variants -------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def coset_ntt_rev_in(self, coeffs_rev):
+        """bit-reversed coefficients -> natural evals on the coset g·<omega>.
+
+        Scales coefficient i by g^i (tables pre-permuted to bit-reversed
+        index order) then runs DIT.
+        """
+        scale = jnp.take(self.coset_pows, self._rev, axis=0)
+        return self._dit(self.F.mont_mul(coeffs_rev, scale), self.tw_fwd)
+
+    @partial(jax.jit, static_argnums=0)
+    def coset_intt_nat_to_rev(self, evals):
+        """natural coset evals -> bit-reversed coefficients (incl. 1/N, g^-i)."""
+        x = self._dif(evals, self.tw_inv)
+        scale = jnp.take(self.coset_inv_pows, self._rev, axis=0)
+        x = self.F.mont_mul(x, scale)
+        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+
+
+def domain_for(F: LimbField, prime_field, log_n: int, coset: bool = False) -> Domain:
+    """Build a Domain from a curves.PrimeField parameter object."""
+    root = prime_field.root_of_unity(log_n)
+    gen = prime_field.multiplicative_generator if coset else None
+    return Domain(F, log_n, root, gen)

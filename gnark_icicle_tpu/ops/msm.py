@@ -1,0 +1,293 @@
+"""Multi-scalar multiplication (Pippenger) on device (jnp over limb arrays).
+
+Role parity: gnark-crypto's ``curve.MultiExp`` + ICICLE's ``MsmOnDevice`` /
+``MsmG2OnDevice`` (reference call sites: backend/groth16/bn254/prove.go:202-304
+four prover MSMs; icicle.go:299-393 device MSMs; setup batch scalar-muls
+setup.go:251,320). Unlike the reference's ICICLE path, infinity inputs are
+handled *in-kernel* via masking — no host-side filtering pass is needed
+(reference workaround: icicle.go:98-109,343-347 for icicle#169).
+
+TPU-first formulation of the three Pippenger phases, scatter-free and with a
+compile-time graph that is O(1) in N and bucket count (every repetitive
+structure is a lax.scan / lax.while_loop):
+
+1. **Signed digit decomposition** — c-bit windows recoded to digits in
+   [-2^(c-1), +2^(c-1)] (halves the bucket count); vector shift/mask ops plus
+   a W-step carry sweep. Digit-0 entries and infinity points map to a trash
+   bucket whose wave count is forced to zero.
+
+2. **Bucket accumulation** — the classically scatter-bound phase. We *sort*
+   indices per window by bucket id (XLA sort is dense and fast), so each
+   bucket's points form a contiguous run, then run "waves": wave t adds
+   sorted point ``start[b] + t`` to bucket ``b`` for every (window, bucket)
+   lane simultaneously — one gather + one batched complete EC mixed-add over
+   W·B lanes per wave. ``lax.while_loop`` runs exactly max-run-length waves
+   (≈ N/B + deviation; data-dependent trip count, static shapes).
+
+3. **Weighted bucket reduction** — Σ_b (b+1)·B_b. The CPU idiom (running
+   suffix sum, 2B *sequential* adds — gnark-crypto's msm.go) is hostile to
+   SIMD; we use log-depth Hillis–Steele suffix scans (roll + masked add under
+   lax.scan) and the split Σ_{hi,lo}(hi·L+lo+1)·B = L·Σhi·rows + Σ(lo+1)·cols
+   to keep the work near 2B adds, then a Horner double-and-add over windows.
+
+Points are affine pytrees (leaf layout as in ops.ec: G1 ``(x, y)`` with
+``(N, K)`` leaves, G2 the same with Fp2 ``(c0, c1)`` pairs); scalars are
+plain (non-Montgomery) 16-bit-limb arrays. The result is one projective point.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import LimbField, I32
+from .ec import DevCurve
+
+
+def pick_window(n: int) -> int:
+    """Window size c (bits): minimizes W·(N + bucket/reduction overhead)."""
+    if n >= (1 << 17):
+        return 16
+    log = max(int(n).bit_length() - 1, 1)
+    return max(2, min(16, log // 2 + 4))
+
+
+class MSMKernel:
+    """Pippenger MSM over a DevCurve, parameterized by scalar bit-width."""
+
+    _cache: dict = {}
+
+    def __new__(cls, curve: DevCurve, scalar_bits: int):
+        key = (id(curve), scalar_bits)
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        cls._cache[key] = self
+        return self
+
+    def __init__(self, curve: DevCurve, scalar_bits: int):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.curve = curve
+        self.scalar_bits = scalar_bits
+
+    # ------------------------------------------------------------------
+    # phase 1: signed digits
+    # ------------------------------------------------------------------
+    def _signed_digits(self, scalar_limbs, c: int):
+        """(N, Kr) plain 16-bit limbs -> (W, N) int32 digits in [-2^(c-1), 2^(c-1)].
+
+        W = ceil(bits/c) + 1; the extra window absorbs the final recoding carry.
+        """
+        n_windows = -(-self.scalar_bits // c) + 1
+        limbs = scalar_limbs.astype(jnp.int32)
+        n_limbs = limbs.shape[-1]
+
+        def raw_digit(w):
+            """Bits [c·w, c·w + c) of the scalar (c ≤ 16 spans ≤ 2 limbs)."""
+            lo_bit = c * w
+            li, off = divmod(lo_bit, 16)
+            d = jnp.zeros(limbs.shape[:-1], dtype=jnp.int32)
+            if li < n_limbs:
+                d = (limbs[..., li] >> off) & ((1 << c) - 1)
+            if off + c > 16 and li + 1 < n_limbs:
+                take = off + c - 16
+                d = d | ((limbs[..., li + 1] & ((1 << take) - 1)) << (16 - off))
+            return d
+
+        half = 1 << (c - 1)
+        digits = []
+        carry = jnp.zeros(limbs.shape[:-1], dtype=jnp.int32)
+        for w in range(n_windows):
+            d = raw_digit(w) + carry
+            wrap = d > half  # digit +half stays positive: buckets 1..2^(c-1)
+            carry = jnp.where(wrap, 1, 0)
+            d = jnp.where(wrap, d - (1 << c), d)
+            digits.append(d)
+        return jnp.stack(digits)
+
+    # ------------------------------------------------------------------
+    # phase 3 primitives: log-depth scans along the LAST BATCH axis
+    # (leaves are (..., m, K) limb arrays; the scanned axis is -2)
+    # ------------------------------------------------------------------
+    def _suffix_scan(self, P, m: int):
+        """Inclusive suffix sums: out_i = Σ_{j≥i} P_j along axis -2."""
+        if m == 1:
+            return P
+        steps = int(np.ceil(np.log2(m)))
+        shifts = jnp.asarray([1 << k for k in range(steps)], dtype=jnp.int32)
+        lane = jnp.arange(m)
+
+        def body(x, shift):
+            rolled = jax.tree.map(lambda a: jnp.roll(a, -shift, axis=-2), x)
+            added = self.curve.add(x, rolled)
+            mask = (lane + shift) < m
+            return self.curve.select(mask, added, x), None
+
+        P, _ = jax.lax.scan(body, P, shifts)
+        return P
+
+    def _take_lane0(self, P):
+        return jax.tree.map(lambda a: a[..., 0, :], P)
+
+    def _weighted_sum_last(self, P, m: int):
+        """Σ_{i=0}^{m-1} (i+1)·P_i along axis -2 (drops that axis).
+
+        Double suffix scan: Σ_i suffix_i = Σ_i (i+1)·P_i read at lane 0.
+        """
+        return self._take_lane0(self._suffix_scan(self._suffix_scan(P, m), m))
+
+    def _double_k_scan(self, P, k: int):
+        """2^k · P via a scanned doubling (graph is one double op)."""
+        if k == 0:
+            return P
+
+        def body(x, _):
+            return self.curve.double(x), None
+
+        P, _ = jax.lax.scan(body, P, None, length=k)
+        return P
+
+    def _bucket_reduce(self, buckets, B: int):
+        """Σ_{b=0}^{B-1} (b+1)·buckets[..., b, :] along axis -2.
+
+        Splits b = hi·L + lo:  Σ = L·Σ_hi hi·R_hi + Σ_lo (lo+1)·C_lo
+        with R = row sums over lo, C = column sums over hi — two big
+        *unweighted* reductions (≈2B adds) plus two tiny weighted sums.
+        """
+        if B <= 128:
+            return self._weighted_sum_last(buckets, B)
+        log_b = (B - 1).bit_length()
+        log_l = log_b // 2
+        L = 1 << log_l
+        H = B // L
+        assert H * L == B, "bucket count must be a power of two"
+        grid = jax.tree.map(
+            lambda a: a.reshape(a.shape[:-2] + (H, L) + a.shape[-1:]), buckets
+        )
+        rows = self._take_lane0(self._suffix_scan(grid, L))  # (..., H, K)
+        grid_t = jax.tree.map(lambda a: jnp.swapaxes(a, -2, -3), grid)
+        cols = self._take_lane0(self._suffix_scan(grid_t, H))  # (..., L, K)
+
+        s1 = self._suffix_scan(rows, H)
+        tot_rows = self._take_lane0(s1)  # Σ R_hi
+        w_rows = self._take_lane0(self._suffix_scan(s1, H))  # Σ (hi+1)·R_hi
+        hi_part = self.curve.add(w_rows, self.curve.neg(tot_rows))  # Σ hi·R_hi
+        w_cols = self._weighted_sum_last(cols, L)
+        return self.curve.add(self._double_k_scan(hi_part, log_l), w_cols)
+
+    # ------------------------------------------------------------------
+    # the kernel
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 4))
+    def msm(self, points, inf_mask, scalar_limbs, c: int):
+        """MSM  Σ_i s_i · P_i  →  one projective point.
+
+        points: affine pytree, leaves (N, K)
+        inf_mask: (N,) bool, True where P_i is the point at infinity
+        scalar_limbs: (N, Kr) int32 plain-form 16-bit limbs
+        c: window bits (static; see pick_window)
+        """
+        curve = self.curve
+        n = scalar_limbs.shape[0]
+        B = 1 << (c - 1)
+        digits = self._signed_digits(scalar_limbs, c)  # (W, N)
+        W = digits.shape[0]
+
+        sign = digits < 0
+        mag = jnp.abs(digits)
+        bucket_id = jnp.where(
+            (mag == 0) | inf_mask[None, :], B, mag - 1
+        )  # (W, N); trash bucket index B
+
+        order = jnp.argsort(bucket_id, axis=1)
+        sorted_bid = jnp.take_along_axis(bucket_id, order, axis=1)
+        sorted_sign = jnp.take_along_axis(sign, order, axis=1)
+
+        # contiguous run [start, end) per (window, bucket) via binary search
+        bvals = jnp.arange(B, dtype=sorted_bid.dtype)
+        starts = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="left"))(
+            sorted_bid
+        ).astype(jnp.int32)
+        ends = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="right"))(
+            sorted_bid
+        ).astype(jnp.int32)
+        counts = ends - starts  # (W, B); trash bucket excluded by construction
+
+        x_proto = jax.tree.map(
+            lambda a: jnp.zeros((W, B) + a.shape[1:], a.dtype), points[0]
+        )
+        acc0 = curve.identity_like(x_proto)
+        t_max = jnp.max(counts)
+
+        def wave(state):
+            t, acc = state
+            idx_sorted = jnp.clip(starts + t, 0, n - 1)  # (W, B)
+            valid = t < counts
+            pt_idx = jnp.take_along_axis(order, idx_sorted, axis=1)
+            gp = jax.tree.map(lambda a: a[pt_idx], points)  # leaves (W, B, K)
+            s = jnp.take_along_axis(sorted_sign, idx_sorted, axis=1)
+            gy = curve.f.select(s, curve.f.neg(gp[1]), gp[1])
+            new = curve.add_mixed(acc, (gp[0], gy))
+            return t + 1, curve.select(valid, new, acc)
+
+        _, buckets = jax.lax.while_loop(
+            lambda st: st[0] < t_max, wave, (jnp.int32(0), acc0)
+        )  # leaves (W, B, K)
+
+        per_window = self._bucket_reduce(buckets, B)  # leaves (W, K)
+
+        # Horner over windows, top-down: acc = (acc · 2^c) + S_w
+        acc = jax.tree.map(lambda a: a[W - 1], per_window)
+        if W > 1:
+            tail = jax.tree.map(lambda a: a[W - 2 :: -1], per_window)
+
+            def horner(x, s_w):
+                x = self._double_k_scan(x, c)
+                return curve.add(x, s_w), None
+
+            acc, _ = jax.lax.scan(horner, acc, tail)
+        return acc
+
+
+def scalars_to_limbs(xs, n_limbs: int) -> np.ndarray:
+    """Host ints -> (N, n_limbs) plain-form 16-bit limb array (int32)."""
+    out = np.zeros((len(xs), n_limbs), dtype=np.int64)
+    for j, x in enumerate(xs):
+        x = int(x)
+        for i in range(n_limbs):
+            out[j, i] = (x >> (16 * i)) & 0xFFFF
+    return out.astype(np.int32)
+
+
+def msm_host(curve: DevCurve, scalar_field, points_host, scalars_host,
+             c: int | None = None):
+    """Host convenience wrapper: python points/ints -> host affine result.
+
+    points_host: affine tuples (or None = infinity) in host coordinates
+    (ints for G1, curves.tower.Fp2 for G2); scalars_host: list of ints.
+    Tests and the setup path use this; provers call MSMKernel.msm on
+    resident device arrays directly.
+    """
+    n = len(points_host)
+    assert n == len(scalars_host) and n > 0
+    inf = np.array([p is None for p in points_host], dtype=bool)
+    dummy = next((p for p in points_host if p is not None), None)
+    if dummy is None:
+        return None  # all inputs at infinity
+    filled = [p if p is not None else dummy for p in points_host]
+    f = curve.f
+    x = jax.tree.map(jnp.asarray, f.encode([p[0] for p in filled]))
+    y = jax.tree.map(jnp.asarray, f.encode([p[1] for p in filled]))
+    n_limbs = -(-scalar_field.modulus.bit_length() // 16)
+    scal = jnp.asarray(
+        scalars_to_limbs([s % scalar_field.modulus for s in scalars_host], n_limbs)
+    )
+    kern = MSMKernel(curve, scalar_bits=scalar_field.modulus.bit_length())
+    res = kern.msm((x, y), jnp.asarray(inf), scal, c or pick_window(n))
+    batched = jax.tree.map(lambda a: a[None], res)
+    return curve.to_affine_host(batched, f.F.modulus)[0]

@@ -1,0 +1,93 @@
+"""MSM kernel tests: device Pippenger vs host scalar-mul oracle.
+
+Parity model: gnark-crypto MultiExp tests; the infinity-handling cases mirror
+the reference's ICICLE workaround scenarios (icicle.go:98-109,343-347).
+"""
+
+import random
+
+import pytest
+
+from gnark_icicle_tpu.curves import bn254
+from gnark_icicle_tpu.curves.ec import ECGroup
+from gnark_icicle_tpu.ops.ec import DevField, DevField2
+from gnark_icicle_tpu.ops.field import field_for
+from gnark_icicle_tpu.ops.ec import DevCurve
+from gnark_icicle_tpu.ops.msm import msm_host
+
+
+FP_DEV = field_for(bn254.P)
+G1_DEV = DevCurve(DevField(FP_DEV), 3 * 3)  # b3 = 9
+G2_B3 = bn254.G2_B * 3
+G2_DEV = DevCurve(DevField2(FP_DEV), (G2_B3.c0, G2_B3.c1))
+
+
+def host_msm(group: ECGroup, scalars, points):
+    return group.msm(scalars, points)
+
+
+@pytest.mark.parametrize("n", [1, 5, 33, 257])
+def test_msm_g1_random(n):
+    rng = random.Random(1234 + n)
+    pts = [bn254.G1.random_point(rng) for _ in range(n)]
+    scalars = [rng.randrange(bn254.R) for _ in range(n)]
+    got = msm_host(G1_DEV, bn254.FR, pts, scalars)
+    want = host_msm(bn254.G1, scalars, pts)
+    assert got == want
+
+
+def test_msm_g1_edge_scalars():
+    rng = random.Random(7)
+    pts = [bn254.G1.random_point(rng) for _ in range(8)]
+    scalars = [0, 1, bn254.R - 1, 2, 0, bn254.R // 2, 1 << 128, 3]
+    got = msm_host(G1_DEV, bn254.FR, pts, scalars)
+    want = host_msm(bn254.G1, scalars, pts)
+    assert got == want
+
+
+def test_msm_g1_infinity_points():
+    """Infinity inputs must be handled in-kernel (no host filtering)."""
+    rng = random.Random(8)
+    pts = [bn254.G1.random_point(rng) for _ in range(6)]
+    pts[0] = None
+    pts[3] = None
+    scalars = [rng.randrange(bn254.R) for _ in range(6)]
+    got = msm_host(G1_DEV, bn254.FR, pts, scalars)
+    want = host_msm(bn254.G1, scalars, pts)
+    assert got == want
+
+
+def test_msm_g1_all_zero():
+    rng = random.Random(9)
+    pts = [bn254.G1.random_point(rng) for _ in range(4)]
+    got = msm_host(G1_DEV, bn254.FR, pts, [0, 0, 0, 0])
+    assert got is None  # identity
+
+
+def test_msm_g1_single():
+    rng = random.Random(10)
+    p = bn254.G1.random_point(rng)
+    k = rng.randrange(bn254.R)
+    got = msm_host(G1_DEV, bn254.FR, [p], [k])
+    assert got == bn254.G1.scalar_mul(p, k)
+
+
+@pytest.mark.parametrize("n", [1, 17, 65])
+def test_msm_g2_random(n):
+    rng = random.Random(4321 + n)
+    pts = [bn254.G2.random_point(rng) for _ in range(n)]
+    scalars = [rng.randrange(bn254.R) for _ in range(n)]
+    got = msm_host(G2_DEV, bn254.FR, pts, scalars)
+    want = host_msm(bn254.G2, scalars, pts)
+    assert got == want
+
+
+def test_msm_g2_infinity_and_zero():
+    rng = random.Random(11)
+    pts = [bn254.G2.random_point(rng) for _ in range(5)]
+    pts[2] = None
+    scalars = [rng.randrange(bn254.R) for _ in range(5)]
+    scalars[4] = 0
+    got = msm_host(G2_DEV, bn254.FR, pts, scalars)
+    want = host_msm(bn254.G2, scalars, pts)
+    assert got == want

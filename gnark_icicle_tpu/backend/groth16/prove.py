@@ -1,0 +1,121 @@
+"""Groth16 Prove: witness solve (host) + H polynomial and 4 MSMs (device).
+
+Role parity: reference backend/groth16/bn254/icicle/icicle.go:133-422 (the
+accelerated prover this framework's kernels replace) and prove.go:62-331 (CPU
+semantics). Flow (≙ SURVEY.md §3.3):
+
+  solve (host)  →  computeH (device: 3 INTT → 3 coset NTT → (a∘b−c)·den →
+  coset INTT, h stays on device as MSM scalars)  →  MSM A/B1/B2/K+Z (device)
+  →  r,s blinding (host point ops).
+
+Differences from the reference, by design: no infinity filtering before MSM
+(in-kernel masks, vs icicle.go:98-109 workaround); h is consumed bit-reversed
+against bit-reversed Z points instead of a device ReverseScalars pass
+(icicle.go:502-510); the four MSMs are independent jitted dispatches XLA can
+queue back-to-back (the single-GPU reference serializes them, icicle.go:399).
+"""
+
+from __future__ import annotations
+
+import secrets
+
+import jax.numpy as jnp
+
+from ...constraint.system import R1CS
+from ...constraint.solver import solve
+from ...device import DeviceCtx
+from ...ops.msm import pick_window
+from .keys import ProvingKey, Proof
+
+
+def _compute_h(ctx: DeviceCtx, a, b, c, log_n: int):
+    """(a·b−c)/Z as plain-form scalar limbs, bit-reversed coefficient order.
+
+    ≙ computeH (prove.go:356-399; on-device icicle.go:453-513). On the coset
+    g·<ω>, Z(g·ωⁱ) = gⁿ−1 is constant — one Montgomery mul by a scalar
+    replaces the reference's `den` vector (icicle.go:500)."""
+    q = ctx.curve.fr.modulus
+    n = 1 << log_n
+    F = ctx.fr_dev
+    dom = ctx.domain(log_n, coset=True)
+
+    pad = [0] * (n - len(a))
+    ea = ctx.fr_mont(a + pad)
+    eb = ctx.fr_mont(b + pad)
+    ec = ctx.fr_mont(c + pad)
+
+    g = ctx.curve.fr.multiplicative_generator
+    den = pow((pow(g, n, q) - 1) % q, -1, q)
+    den_m = jnp.asarray(F.encode([den])[0])
+
+    def to_coset(e):
+        return dom.coset_ntt_rev_in(dom.intt_nat_to_rev(e))
+
+    ca, cb, cc = to_coset(ea), to_coset(eb), to_coset(ec)
+    h_evals = F.mont_mul(
+        F.sub(F.mont_mul(ca, cb), cc), jnp.broadcast_to(den_m, ca.shape)
+    )
+    h_rev = dom.coset_intt_nat_to_rev(h_evals)  # Montgomery, bit-reversed
+    return F.from_mont(h_rev)  # plain limbs = MSM scalar format
+
+
+def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
+          rng=None) -> Proof:
+    """Generate a Groth16 proof (≙ groth16.Prove, icicle path)."""
+    q = curve.fr.modulus
+    ctx = DeviceCtx(curve)
+    rand = rng.randrange if rng is not None else (
+        lambda m: secrets.randbelow(m - 1) + 1
+    )
+
+    res = solve(cs, public_values, secret_values)
+    log_n = pk.domain_log_n
+    n = 1 << log_n
+
+    # --- device phase -----------------------------------------------------
+    h_scalars = _compute_h(ctx, res.a, res.b, res.c, log_n)
+
+    dev = pk.device_arrays(ctx)
+    wires = ctx.fr_scalars(res.wires)
+    priv_wires = ctx.fr_scalars(res.wires[cs.nb_public:])
+
+    nw = len(res.wires)
+    c_all = pick_window(nw)
+    ar_dev = ctx.msm_g1.msm(dev["a"][0], dev["a"][1], wires, c_all)
+    bs1_dev = ctx.msm_g1.msm(dev["b1"][0], dev["b1"][1], wires, c_all)
+    bs2_dev = ctx.msm_g2.msm(dev["b2"][0], dev["b2"][1], wires, c_all)
+    krs_parts = []
+    if nw - cs.nb_public > 0:
+        krs_parts.append(
+            ctx.msm_g1.msm(dev["k"][0], dev["k"][1], priv_wires,
+                           pick_window(nw - cs.nb_public))
+        )
+    krs_parts.append(
+        ctx.msm_g1.msm(dev["z"][0], dev["z"][1], h_scalars, pick_window(n))
+    )
+
+    # --- host blinding (r, s — toxic randomness stays host-side) ----------
+    g1, g2 = curve.g1, curve.g2
+    r = rand(q)
+    s = rand(q)
+
+    ar_msm = ctx.g1_to_host(ar_dev)
+    bs1_msm = ctx.g1_to_host(bs1_dev)
+    bs2_msm = ctx.g2_to_host(bs2_dev)
+    krs_msm = [ctx.g1_to_host(p) for p in krs_parts]
+
+    # Ar = α + Σw·A + r·δ
+    ar = g1.add(g1.add(pk.g1_alpha, ar_msm), g1.scalar_mul(pk.g1_delta, r))
+    # Bs (G2) = β + Σw·B + s·δ
+    bs = g2.add(g2.add(pk.g2_beta, bs2_msm), g2.scalar_mul(pk.g2_delta, s))
+    # Bs1 (G1 shadow of Bs) for Krs
+    bs1 = g1.add(g1.add(pk.g1_beta, bs1_msm), g1.scalar_mul(pk.g1_delta, s))
+    # Krs = Σ_priv w·K + h·Z + s·Ar + r·Bs1 − r·s·δ
+    krs = None
+    for p in krs_msm:
+        krs = g1.add(krs, p)
+    krs = g1.add(krs, g1.scalar_mul(ar, s))
+    krs = g1.add(krs, g1.scalar_mul(bs1, r))
+    krs = g1.add(krs, g1.scalar_mul(pk.g1_delta, (-r * s) % q))
+
+    return Proof(ar=ar, krs=krs, bs=bs)

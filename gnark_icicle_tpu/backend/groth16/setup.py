@@ -1,0 +1,164 @@
+"""Groth16 Setup: toxic waste sampling + QAP evaluation + key generation.
+
+Role parity: reference backend/groth16/bn254/setup.go:85-362 (Setup) —
+sampleToxicWaste (:456), setupABC Lagrange accumulation (:364-446), K-scalar
+partitioning (:143-196), batch scalar multiplications (:251,320), Z-point
+bit-reversal (:265). Host big-int math: setup is a one-time trusted ceremony,
+not the proving hot path (the reference keeps it on CPU too — device upload
+is deferred to first Prove, icicle.go:145-150).
+"""
+
+from __future__ import annotations
+
+import secrets
+
+from ...constraint.system import R1CS
+from ...ops.ntt import bitrev_indices
+from .keys import ProvingKey, VerifyingKey
+
+
+def _next_pow2_log(n: int) -> int:
+    log = max((n - 1).bit_length(), 1)
+    return log
+
+
+def qap_evaluations(cs: R1CS, tau: int, n: int, omega: int):
+    """Per-wire QAP polynomial evaluations A_k(τ), B_k(τ), C_k(τ).
+
+    Lagrange kernel: L_j(τ) = (τⁿ−1)·ω^j / (n·(τ−ω^j)); then one sweep over
+    the constraint terms accumulating coeff·L_j into the term's wire slot
+    (≙ setupABC's per-constraint accumulation, setup.go:423-442).
+    """
+    q = cs.q
+    z_tau = (pow(tau, n, q) - 1) % q
+    # denominators n·(τ−ω^j), batch-inverted
+    omega_pows = [1] * n
+    for j in range(1, n):
+        omega_pows[j] = omega_pows[j - 1] * omega % q
+    dens = [n * (tau - w) % q for w in omega_pows]
+    if any(d == 0 for d in dens):
+        raise ValueError("tau collides with the domain; resample")
+    inv_dens = _batch_inv(dens, q)
+    lag = [z_tau * omega_pows[j] % q * inv_dens[j] % q for j in range(n)]
+
+    nw = cs.nb_wires
+    A = [0] * nw
+    B = [0] * nw
+    C = [0] * nw
+    coeffs = cs.coeffs
+    tc, tw = cs.term_coeff, cs.term_wire
+    for j in range(cs.nb_constraints):
+        lj = lag[j]
+        (ls, le), (rs, re), (os_, oe) = cs.constraint_slots(j)
+        for t in range(ls, le):
+            A[tw[t]] = (A[tw[t]] + coeffs[tc[t]] * lj) % q
+        for t in range(rs, re):
+            B[tw[t]] = (B[tw[t]] + coeffs[tc[t]] * lj) % q
+        for t in range(os_, oe):
+            C[tw[t]] = (C[tw[t]] + coeffs[tc[t]] * lj) % q
+    return A, B, C, z_tau
+
+
+def _batch_inv(xs, q):
+    n = len(xs)
+    prefix = [1] * (n + 1)
+    for i, x in enumerate(xs):
+        prefix[i + 1] = prefix[i] * x % q
+    inv = pow(prefix[n], -1, q)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = inv * prefix[i] % q
+        inv = inv * xs[i] % q
+    return out
+
+
+def setup(cs: R1CS, curve, rng=None):
+    """(ProvingKey, VerifyingKey) for a compiled R1CS (≙ groth16.Setup)."""
+    q = curve.fr.modulus
+    assert q == cs.q, "constraint system field != curve scalar field"
+    rand = rng.randrange if rng is not None else (
+        lambda n: secrets.randbelow(n - 1) + 1
+    )
+
+    log_n = _next_pow2_log(max(cs.nb_constraints, 2))
+    n = 1 << log_n
+    omega = curve.fr.root_of_unity(log_n)
+
+    tau = rand(q)
+    alpha = rand(q)
+    beta = rand(q)
+    gamma = rand(q)
+    delta = rand(q)
+
+    A, B, C, z_tau = qap_evaluations(cs, tau, n, omega)
+
+    inv_gamma = pow(gamma, -1, q)
+    inv_delta = pow(delta, -1, q)
+
+    nb_pub = cs.nb_public
+    vk_k_scalars = [
+        (beta * A[k] + alpha * B[k] + C[k]) * inv_gamma % q
+        for k in range(nb_pub)
+    ]
+    pk_k_scalars = [
+        (beta * A[k] + alpha * B[k] + C[k]) * inv_delta % q
+        for k in range(nb_pub, cs.nb_wires)
+    ]
+    # Z points: τ^i·Z(τ)/δ for i < n-1 — stored bit-reversed (setup.go:265)
+    zd = z_tau * inv_delta % q
+    z_scalars = [0] * (n - 1)
+    acc = zd
+    for i in range(n - 1):
+        z_scalars[i] = acc
+        acc = acc * tau % q
+
+    g1 = curve.g1
+    g2 = curve.g2
+    G1, G2 = g1.generator, g2.generator
+
+    def mul_g1(s):
+        return g1.scalar_mul(G1, s)
+
+    def mul_g2(s):
+        return g2.scalar_mul(G2, s)
+
+    pk = ProvingKey(
+        g1_alpha=mul_g1(alpha),
+        g1_beta=mul_g1(beta),
+        g1_delta=mul_g1(delta),
+        g2_beta=mul_g2(beta),
+        g2_delta=mul_g2(delta),
+        g1_a=[mul_g1(s) for s in A],
+        g1_b=[mul_g1(s) for s in B],
+        g2_b=[mul_g2(s) for s in B],
+        g1_k=[mul_g1(s) for s in pk_k_scalars],
+        g1_z=_bit_reverse_list([mul_g1(s) for s in z_scalars], n),
+        domain_log_n=log_n,
+    )
+    vk = VerifyingKey(
+        g1_alpha=pk.g1_alpha,
+        g2_beta=pk.g2_beta,
+        g2_gamma=mul_g2(gamma),
+        g2_delta=pk.g2_delta,
+        g1_k=[mul_g1(s) for s in vk_k_scalars],
+        nb_public=nb_pub,
+    )
+    return pk, vk
+
+
+def _bit_reverse_list(points, n: int):
+    """Permute a length n-1 list as the prefix of the size-n bit-reversal.
+
+    h comes out of the coset INTT in bit-reversed order over the full domain;
+    index i of the natural-order Z array lands at position rev(i). We place
+    point i at rev-order position: out[j] = points[rev(j)] when rev(j) < n-1.
+    """
+    rev = bitrev_indices(n)
+    out = []
+    for j in range(n):
+        src = int(rev[j])
+        if src < len(points):
+            out.append(points[src])
+        else:
+            out.append(None)  # the missing top coefficient slot
+    return out

@@ -200,6 +200,18 @@ class ECGroup:
                 acc = self._jadd_affine(acc, p)
         return self._to_affine(acc)
 
+    def in_subgroup(self, pt) -> bool:
+        """[order]·P == ∞ (cofactor check; ≙ gnark-crypto IsInSubGroup)."""
+        if pt is None:
+            return True
+        f = self.f
+        acc = (f.one(), f.one(), f.zero())
+        for bit in bin(self.order)[2:]:
+            acc = self._jdouble(acc)
+            if bit == "1":
+                acc = self._jadd_affine(acc, pt)
+        return f.is_zero(acc[2])
+
     def msm(self, scalars, points):
         """Small host MSM (verifier-sized). Device MSM is ops.msm."""
         acc = None

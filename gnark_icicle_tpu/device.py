@@ -1,0 +1,99 @@
+"""Device context: per-curve bundle of device fields, curves, and kernels.
+
+Role parity: the iciclegnark device-runtime layer (reference:
+backend/groth16/bn254/icicle/provingkey.go:10-28 deviceInfo holds
+G1Device/G2Device/DomainDevice pointers; icicle.go:31-130 setupDevicePointers
+uploads them once). Here "device pointers" are jax arrays cached on key
+objects; the context is the factory for the kernels they feed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.field import LimbField, field_for, I32
+from .ops.ec import DevCurve, DevField, DevField2
+from .ops.ntt import Domain, domain_for
+from .ops.msm import MSMKernel, scalars_to_limbs
+
+
+class DeviceCtx:
+    """Device-side kernels + conversions for one host curve object."""
+
+    _cache: dict = {}
+
+    def __new__(cls, curve):
+        if curve.name in cls._cache:
+            return cls._cache[curve.name]
+        self = super().__new__(cls)
+        cls._cache[curve.name] = self
+        return self
+
+    def __init__(self, curve):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.curve = curve
+        self.fp_dev = field_for(curve.fp.modulus)
+        self.fr_dev = field_for(curve.fr.modulus)
+        g1_b3 = 3 * curve.g1.b  # int
+        self.g1_dev = DevCurve(DevField(self.fp_dev), g1_b3)
+        g2_b3 = curve.g2.b * 3  # Fp2
+        self.g2_dev = DevCurve(
+            DevField2(self.fp_dev), (g2_b3.c0, g2_b3.c1)
+        )
+        bits = curve.fr.modulus.bit_length()
+        self.msm_g1 = MSMKernel(self.g1_dev, bits)
+        self.msm_g2 = MSMKernel(self.g2_dev, bits)
+
+    # -- domains -----------------------------------------------------------
+    def domain(self, log_n: int, coset: bool = False) -> Domain:
+        return domain_for(self.fr_dev, self.curve.fr, log_n, coset=coset)
+
+    # -- host <-> device conversions ----------------------------------------
+    def fr_scalars(self, values) -> jnp.ndarray:
+        """Host ints -> plain-form limb array (MSM scalar input)."""
+        return jnp.asarray(
+            scalars_to_limbs([v % self.curve.fr.modulus for v in values],
+                             self.fr_dev.K)
+        )
+
+    def fr_mont(self, values) -> jnp.ndarray:
+        """Host ints -> Montgomery-form limb array (NTT input)."""
+        return jnp.asarray(self.fr_dev.encode(values))
+
+    def g1_points(self, points_host):
+        """Host affine G1 (None = infinity) -> (pytree, inf_mask) device."""
+        return self._points(points_host, self.g1_dev, (0, 1))
+
+    def g2_points(self, points_host):
+        from .curves.tower import Fp2
+
+        zero = Fp2.zero(self.curve.tower)
+        one = Fp2.one(self.curve.tower)
+        return self._points(points_host, self.g2_dev, (zero, one))
+
+    def _points(self, points_host, dev_curve, inf_sub):
+        inf = np.array([p is None for p in points_host], dtype=bool)
+        filled = [p if p is not None else inf_sub for p in points_host]
+        f = dev_curve.f
+        x = jax.tree.map(jnp.asarray, f.encode([p[0] for p in filled]))
+        y = jax.tree.map(jnp.asarray, f.encode([p[1] for p in filled]))
+        return (x, y), jnp.asarray(inf)
+
+    def g1_to_host(self, P):
+        """Projective device point (unbatched) -> host affine / None."""
+        batched = jax.tree.map(lambda a: a[None], P)
+        return self.g1_dev.to_affine_host(batched, self.curve.fp.modulus)[0]
+
+    def g2_to_host(self, P):
+        from .curves.tower import Fp2
+
+        batched = jax.tree.map(lambda a: a[None], P)
+        res = self.g2_dev.to_affine_host(batched, self.curve.fp.modulus)[0]
+        if res is None:
+            return None
+        tp = self.curve.tower
+        return (Fp2(tp, *res[0]), Fp2(tp, *res[1]))

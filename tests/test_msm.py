@@ -23,7 +23,17 @@ G2_DEV = DevCurve(DevField2(FP_DEV), (G2_B3.c0, G2_B3.c1))
 
 
 def host_msm(group: ECGroup, scalars, points):
-    return group.msm(scalars, points)
+    return normalize(group.msm(scalars, points))
+
+
+def normalize(p):
+    """Host affine point -> comparable form (Fp2 coords become tuples,
+    matching DevCurve.to_affine_host's decode)."""
+    if p is None:
+        return None
+    return tuple(
+        (c.c0, c.c1) if hasattr(c, "c0") else c for c in p
+    )
 
 
 @pytest.mark.parametrize("n", [1, 5, 33, 257])
@@ -69,7 +79,7 @@ def test_msm_g1_single():
     p = bn254.G1.random_point(rng)
     k = rng.randrange(bn254.R)
     got = msm_host(G1_DEV, bn254.FR, [p], [k])
-    assert got == bn254.G1.scalar_mul(p, k)
+    assert got == normalize(bn254.G1.scalar_mul(p, k))
 
 
 @pytest.mark.parametrize("n", [1, 17, 65])

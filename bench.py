@@ -1,0 +1,88 @@
+"""Headline benchmark: BN254 G1 MSM throughput per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The
+reference publishes no numbers (BASELINE.md — `"published": {}`), so
+vs_baseline is null; the north-star comparison (ICICLE-on-A100 at 2^24) is
+tracked in BASELINE.md.
+
+Design notes: all lanes share one base point — Pippenger's bucket phase is
+scalar-driven (digit histogram), so identical points are perf-equivalent to
+random points while letting the result be verified in O(1) host work
+(Σsᵢ·P). Scalars are uniform over fr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import random
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.device import DeviceCtx
+    from gnark_icicle_tpu.ops.msm import pick_window
+
+    log_n = int(os.environ.get("BENCH_LOG_N", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    n = 1 << log_n
+
+    ctx = DeviceCtx(bn254.BN254)
+    rng = random.Random(7)
+    pt = bn254.G1.random_point(rng)
+    (px, py), inf = ctx.g1_points([pt])
+    px = np.broadcast_to(np.asarray(px), (n, ctx.fp_dev.K)).copy()
+    py = np.broadcast_to(np.asarray(py), (n, ctx.fp_dev.K)).copy()
+    inf = np.zeros(n, dtype=bool)
+
+    nprng = np.random.default_rng(7)
+    scal = nprng.integers(0, 1 << 16, size=(n, ctx.fr_dev.K), dtype=np.int32)
+    scal[:, -1] &= 0x3FFF  # keep scalars < 2^254 (< r·(1+eps); exactness
+    # of the sum check handles the mod)
+
+    import jax.numpy as jnp
+
+    px_d, py_d = jnp.asarray(px), jnp.asarray(py)
+    inf_d, scal_d = jnp.asarray(inf), jnp.asarray(scal)
+
+    c = pick_window(n)
+    kern = ctx.msm_g1
+
+    # compile + warmup
+    res = kern.msm((px_d, py_d), inf_d, scal_d, c)
+    jax.block_until_ready(res)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        res = kern.msm((px_d, py_d), inf_d, scal_d, c)
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    # O(1) correctness check: result must equal (Σ sᵢ)·P
+    got = ctx.g1_to_host(res)
+    total = 0
+    pw = 1
+    for limb_col in range(scal.shape[1]):
+        total += int(scal[:, limb_col].astype(object).sum()) * pw
+        pw <<= 16
+    want = bn254.G1.scalar_mul(pt, total % bn254.R)
+    assert got == want, "bench MSM result failed verification"
+
+    print(json.dumps({
+        "metric": f"msm_g1_bn254_2^{log_n}",
+        "value": round(n / best, 1),
+        "unit": "points/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

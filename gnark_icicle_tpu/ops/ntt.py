@@ -103,29 +103,36 @@ class Domain:
         self._rev = jnp.asarray(bitrev_indices(self.n))
 
     # -- core butterflies ---------------------------------------------------
+    # Transforms act along axis -2 of (..., n, K) arrays: leading axes are
+    # batch (the 4-step distributed NTT runs row/column sub-transforms as
+    # batches, parallel/ntt.py).
     def _dif(self, x, tw):
         """Natural-order input -> bit-reversed output (decimation in freq)."""
         F, n = self.F, self.n
+        batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n - 1, -1, -1)]:
             stride = n // (2 * m)
             w = tw[::stride][:m]  # (m, K): omega^(j*stride)
-            v = x.reshape(-1, 2, m, F.K)
-            a, b = v[:, 0], v[:, 1]
+            v = x.reshape(batch + (-1, 2, m, F.K))
+            a, b = v[..., 0, :, :], v[..., 1, :, :]
             s = F.add(a, b)
             d = F.mont_mul(F.sub(a, b), jnp.broadcast_to(w, a.shape))
-            x = jnp.stack([s, d], axis=1).reshape(-1, F.K)
+            x = jnp.stack([s, d], axis=-3).reshape(batch + (-1, F.K))
         return x
 
     def _dit(self, x, tw):
         """Bit-reversed input -> natural-order output (decimation in time)."""
         F, n = self.F, self.n
+        batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n)]:
             stride = n // (2 * m)
             w = tw[::stride][:m]
-            v = x.reshape(-1, 2, m, F.K)
-            a = v[:, 0]
-            b = F.mont_mul(v[:, 1], jnp.broadcast_to(w, v[:, 1].shape))
-            x = jnp.stack([F.add(a, b), F.sub(a, b)], axis=1).reshape(-1, F.K)
+            v = x.reshape(batch + (-1, 2, m, F.K))
+            a = v[..., 0, :, :]
+            b = F.mont_mul(v[..., 1, :, :], jnp.broadcast_to(w, a.shape))
+            x = jnp.stack([F.add(a, b), F.sub(a, b)], axis=-3).reshape(
+                batch + (-1, F.K)
+            )
         return x
 
     # -- public transforms ---------------------------------------------------
@@ -153,7 +160,7 @@ class Domain:
 
     # -- natural-order conveniences (one device gather) ----------------------
     def bit_reverse(self, x):
-        return jnp.take(x, self._rev, axis=0)
+        return jnp.take(x, self._rev, axis=-2)
 
     @partial(jax.jit, static_argnums=0)
     def ntt(self, coeffs):

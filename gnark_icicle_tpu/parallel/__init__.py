@@ -1,0 +1,8 @@
+"""Multi-chip parallelism: mesh-sharded MSM and 4-step NTT over ICI/DCN
+collectives (SURVEY.md §2.4 — the first-class TPU counterpart to the
+reference's single-process goroutine/GPU parallelism)."""
+
+from .msm import sharded_msm
+from .ntt import ShardedNTT
+
+__all__ = ["sharded_msm", "ShardedNTT"]

@@ -1,0 +1,76 @@
+"""Standalone multi-chip check, run on an 8-device virtual CPU mesh.
+
+Invoked as a subprocess by test_parallel.py (and mirrors what the driver's
+dryrun_multichip validates): sharded 4-step NTT and sharded MSM must agree
+bit-exactly with their single-device counterparts (SURVEY.md §4 tier 5:
+"multi-chip tests run the same kernels on 1 chip / N and compare bit-exactly").
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+# jax may be pre-imported by site configuration with the TPU platform pinned;
+# force the virtual-device CPU mesh before the backend initializes.
+import jax as _jax_cfg
+
+_jax_cfg.config.update("jax_platforms", "cpu")
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gnark_icicle_tpu.curves import bn254
+from gnark_icicle_tpu.device import DeviceCtx
+from gnark_icicle_tpu.ops.ntt import domain_for
+from gnark_icicle_tpu.parallel import sharded_msm, ShardedNTT
+
+
+def main():
+    assert len(jax.devices()) == 8, jax.devices()
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    ctx = DeviceCtx(bn254.BN254)
+    rng = random.Random(5)
+
+    # --- sharded NTT vs single-device Domain (N = 256, d = 8) -------------
+    log_n = 8
+    n = 1 << log_n
+    vals = [rng.randrange(bn254.R) for _ in range(n)]
+    x = ctx.fr_mont(vals)
+    dom = ctx.domain(log_n)
+    want = np.asarray(dom.ntt(x))
+    sntt = ShardedNTT(ctx.fr_dev, bn254.FR, log_n, mesh, "shard")
+    got = np.asarray(sntt.ntt(x))
+    assert (got == want).all(), "sharded NTT mismatch"
+
+    roundtrip = np.asarray(sntt.intt(sntt.ntt(x)))
+    assert (roundtrip == np.asarray(x)).all(), "sharded NTT roundtrip failed"
+    print("sharded NTT: OK")
+
+    # --- sharded MSM vs host oracle (N = 64, d = 8) ------------------------
+    n_pts = 64
+    pts = [bn254.G1.random_point(rng) for _ in range(n_pts)]
+    pts[3] = None  # infinity in-kernel
+    scalars = [rng.randrange(bn254.R) for _ in range(n_pts)]
+    scalars[5] = 0
+    (px, py), inf = ctx.g1_points(pts)
+    scal = ctx.fr_scalars(scalars)
+    res = sharded_msm(ctx.msm_g1, mesh, "shard", (px, py), inf, scal)
+    got_pt = ctx.g1_to_host(res)
+    want_pt = bn254.G1.msm(scalars, pts)
+    assert got_pt == want_pt, f"sharded MSM mismatch: {got_pt} != {want_pt}"
+    print("sharded MSM: OK")
+
+
+if __name__ == "__main__":
+    main()
+    print("PARALLEL_CHECK_PASSED")

@@ -1,0 +1,1 @@
+"""Gadget standard library (≙ reference std/ — SURVEY.md §2.5)."""

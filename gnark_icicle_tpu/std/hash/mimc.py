@@ -1,0 +1,193 @@
+"""MiMC hash: circuit gadget + host implementation.
+
+Role parity: reference std/hash/mimc/ (gadget — Write/Reset/Sum with
+Miyaguchi–Preneel chaining, mimc.go:53-80; encryptPow5 rounds,
+encrypt.go:145-153) and gnark-crypto's fr/mimc (the host counterpart whose
+round constants come from iterated legacy-Keccak-256 of the ASCII seed
+"seed", reduced into fr). BN254 uses x⁵ rounds, 110 of them.
+
+keccak256 here is the legacy (pre-NIST, 0x01 padding) Keccak used by
+Ethereum/gnark-crypto — hashlib's sha3_256 pads differently and cannot be
+substituted.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# legacy Keccak-256 (from the Keccak reference spec; 0x01 domain padding)
+# ---------------------------------------------------------------------------
+
+_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_MASK64 = (1 << 64) - 1
+
+
+def _rotl(x, n):
+    n %= 64
+    return ((x << n) | (x >> (64 - n))) & _MASK64
+
+
+def _keccak_f(state):
+    for rc in _RC:
+        # theta
+        c = [state[x][0] ^ state[x][1] ^ state[x][2] ^ state[x][3] ^ state[x][4]
+             for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rotl(c[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            for y in range(5):
+                state[x][y] ^= d[x]
+        # rho + pi
+        b = [[0] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = _rotl(state[x][y], _ROT[x][y])
+        # chi
+        for x in range(5):
+            for y in range(5):
+                state[x][y] = b[x][y] ^ ((~b[(x + 1) % 5][y]) & b[(x + 2) % 5][y])
+        # iota
+        state[0][0] ^= rc
+    return state
+
+
+def keccak256(data: bytes) -> bytes:
+    rate = 136  # 1088-bit rate for 256-bit output
+    # pad10*1 with 0x01 domain byte (legacy Keccak, not SHA-3's 0x06)
+    pad_len = rate - (len(data) % rate)
+    if pad_len >= 2:
+        padded = data + b"\x01" + b"\x00" * (pad_len - 2) + b"\x80"
+    else:
+        padded = data + b"\x81"
+    state = [[0] * 5 for _ in range(5)]
+    for off in range(0, len(padded), rate):
+        block = padded[off : off + rate]
+        for i in range(rate // 8):
+            x, y = i % 5, i // 5
+            state[x][y] ^= int.from_bytes(block[8 * i : 8 * i + 8], "little")
+        _keccak_f(state)
+    out = b""
+    for i in range(4):  # 32 bytes from the rate lanes
+        x, y = i % 5, i // 5
+        out += state[x][y].to_bytes(8, "little")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# round constants (gnark-crypto derivation: iterated keccak256 of "seed")
+# ---------------------------------------------------------------------------
+
+_PARAMS = {
+    # modulus -> (nb_rounds, exponent)
+    # BN254 fr / BLS12-381 fr: x^5, 110 rounds (gnark-crypto fr/mimc)
+}
+_CONST_CACHE: dict = {}
+
+
+def mimc_constants(modulus: int, nb_rounds: int = 110,
+                   seed: bytes = b"seed") -> list:
+    key = (modulus, nb_rounds, seed)
+    if key not in _CONST_CACHE:
+        rnd = keccak256(seed)
+        out = []
+        for _ in range(nb_rounds):
+            rnd = keccak256(rnd)
+            out.append(int.from_bytes(rnd, "big") % modulus)
+        _CONST_CACHE[key] = out
+    return _CONST_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# host hash (≙ gnark-crypto fr/mimc)
+# ---------------------------------------------------------------------------
+
+class MiMCHost:
+    """Host MiMC over fr: Miyaguchi–Preneel chaining of the x^5 cipher."""
+
+    def __init__(self, modulus: int, nb_rounds: int = 110, exponent: int = 5):
+        self.q = modulus
+        self.constants = mimc_constants(modulus, nb_rounds)
+        self.e = exponent
+        self.h = 0
+
+    def reset(self):
+        self.h = 0
+
+    def _encrypt(self, m: int) -> int:
+        q = self.q
+        x = m
+        for c in self.constants:
+            x = pow((x + self.h + c) % q, self.e, q)
+        return (x + self.h) % q
+
+    def write(self, *values):
+        for v in values:
+            m = int(v) % self.q
+            r = self._encrypt(m)
+            self.h = (self.h + r + m) % self.q
+
+    def sum(self, *values) -> int:
+        self.write(*values)
+        return self.h
+
+
+def mimc_hash(modulus: int, values) -> int:
+    h = MiMCHost(modulus)
+    h.write(*values)
+    return h.h
+
+
+# ---------------------------------------------------------------------------
+# circuit gadget (≙ std/hash/mimc gadget API)
+# ---------------------------------------------------------------------------
+
+class MiMC:
+    """In-circuit MiMC (Write/Reset/Sum like the reference gadget)."""
+
+    def __init__(self, api, modulus: int, nb_rounds: int = 110):
+        self.api = api
+        self.constants = mimc_constants(modulus, nb_rounds)
+        self.h = 0  # frontend value
+        self.data = []
+
+    def write(self, *values):
+        self.data.extend(values)
+
+    def reset(self):
+        self.data = []
+        self.h = 0
+
+    def _pow5(self, x):
+        api = self.api
+        r = api.mul(x, x)
+        r = api.mul(r, r)
+        return api.mul(r, x)
+
+    def _encrypt(self, m):
+        api = self.api
+        x = m
+        for c in self.constants:
+            x = self._pow5(api.add(x, self.h, c))
+        return api.add(x, self.h)
+
+    def sum(self):
+        api = self.api
+        for stream in self.data:
+            r = self._encrypt(stream)
+            self.h = api.add(self.h, r, stream)
+        self.data = []
+        return self.h

@@ -1,0 +1,126 @@
+"""KZG polynomial commitments over the device MSM kernel.
+
+Role parity: gnark-crypto's kzg package as used by the PLONK backend
+(reference: backend/plonk/bn254/prove.go KZG commits/opens; test SRS from
+test/unsafekzg — insecure tau, kzgsrs.go:64). Commitments are device MSMs
+over the SRS powers; openings divide by (X−z) with Horner synthetic division
+(host big-int, O(n) — the commit MSM dominates); pairing checks ride the
+host verifier oracle.
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+from ..device import DeviceCtx
+from ..ops.msm import pick_window
+
+
+@dataclass
+class SRS:
+    """Powers of tau: [τ^i]₁ for i ≤ n, plus [1]₂, [τ]₂."""
+
+    g1_powers: list  # host affine points
+    g2_gen: tuple
+    g2_tau: tuple
+    _device: dict = None
+
+    def device_points(self, ctx: DeviceCtx, n: int):
+        """Upload-once device staging of the first n G1 powers."""
+        if self._device is None:
+            self._device = {}
+        if n not in self._device:
+            self._device[n] = ctx.g1_points(self.g1_powers[:n])
+        return self._device[n]
+
+
+def unsafe_srs(curve, size: int, tau: int | None = None, rng=None) -> SRS:
+    """Insecure SRS for tests/benchmarks (≙ test/unsafekzg, kzgsrs.go:64).
+
+    Knowing tau lets the host build the power list in O(n) field ops + n
+    fixed-base scalar muls.
+    """
+    q = curve.fr.modulus
+    if tau is None:
+        tau = (rng.randrange if rng else (lambda m: secrets.randbelow(m - 1) + 1))(q)
+    g1 = curve.g1
+    powers = []
+    acc = 1
+    for _ in range(size):
+        powers.append(g1.scalar_mul(g1.generator, acc))
+        acc = acc * tau % q
+    return SRS(
+        g1_powers=powers,
+        g2_gen=curve.g2.generator,
+        g2_tau=curve.g2.scalar_mul(curve.g2.generator, tau),
+    )
+
+
+class KZG:
+    """Commit/open/verify bound to one curve + SRS."""
+
+    def __init__(self, curve, srs: SRS):
+        self.curve = curve
+        self.srs = srs
+        self.ctx = DeviceCtx(curve)
+        self.q = curve.fr.modulus
+
+    # -- commit (device MSM) -------------------------------------------------
+    def commit(self, coeffs: list) -> tuple:
+        """[p(τ)]₁ for coefficient list (host ints, low-to-high degree)."""
+        n = len(coeffs)
+        assert n <= len(self.srs.g1_powers), "SRS too small"
+        if n == 0:
+            return None
+        pts, inf = self.srs.device_points(self.ctx, n)
+        scal = self.ctx.fr_scalars(coeffs)
+        res = self.ctx.msm_g1.msm(pts, inf, scal, pick_window(n))
+        return self.ctx.g1_to_host(res)
+
+    # -- open ------------------------------------------------------------------
+    def open(self, coeffs: list, z: int):
+        """(value p(z), proof [q(τ)]₁) with q = (p − p(z))/(X − z)."""
+        q = self.q
+        z %= q
+        # synthetic division, highest degree first
+        quot = [0] * (len(coeffs) - 1)
+        acc = 0
+        for i in range(len(coeffs) - 1, 0, -1):
+            acc = (acc * z + coeffs[i]) % q
+            quot[i - 1] = acc
+        value = (acc * z + coeffs[0]) % q
+        proof = self.commit(quot) if quot else None
+        return value, proof
+
+    # -- verify (host pairing) ---------------------------------------------------
+    def verify(self, commitment, z: int, value: int, proof) -> bool:
+        """e(C − [v]₁ + z·π, [1]₂) · e(−π, [τ]₂) == 1."""
+        g1, g2 = self.curve.g1, self.curve.g2
+        q = self.q
+        # C − v·G1 + z·π
+        acc = commitment
+        acc = g1.add(acc, g1.scalar_mul(g1.generator, (-value) % q))
+        if proof is not None:
+            acc = g1.add(acc, g1.scalar_mul(proof, z % q))
+        pairs = [(acc, self.srs.g2_gen)]
+        if proof is not None:
+            pairs.append((g1.neg(proof), self.srs.g2_tau))
+        return self.curve.pairing(pairs)
+
+    def batch_verify_same_point(self, commitments, z, values, proofs,
+                                gamma: int) -> bool:
+        """Fold commitments/openings at the same z with powers of gamma
+        (≙ kzg.BatchVerifySinglePoint)."""
+        g1 = self.curve.g1
+        q = self.q
+        acc_c = None
+        acc_v = 0
+        acc_p = None
+        g = 1
+        for cm, v, pf in zip(commitments, values, proofs):
+            acc_c = g1.add(acc_c, g1.scalar_mul(cm, g))
+            acc_v = (acc_v + g * v) % q
+            acc_p = g1.add(acc_p, g1.scalar_mul(pf, g))
+            g = g * gamma % q
+        return self.verify(acc_c, z, acc_v, acc_p)

@@ -126,13 +126,21 @@ class Circuit:
         return self.witness_values(modulus)[0]
 
 
-def compile_circuit(modulus: int, circuit_cls, **kwargs):
-    """Compile a circuit class to an R1CS (≙ frontend.Compile).
+def compile_circuit(modulus: int, circuit_cls, builder: str = "r1cs", **kwargs):
+    """Compile a circuit class to a constraint system (≙ frontend.Compile).
 
-    Returns the constraint system; input wire layout is recorded in the CS's
-    public/secret name lists.
+    builder: "r1cs" (Groth16, ≙ r1cs.NewBuilder) or "scs" (PLONK,
+    ≙ scs.NewBuilder). Returns the constraint system; input wire layout is
+    recorded in the CS's public/secret name lists.
     """
-    builder = Builder(modulus)
+    if builder == "r1cs":
+        builder = Builder(modulus)
+    elif builder == "scs":
+        from .scs_builder import ScsBuilder
+
+        builder = ScsBuilder(modulus)
+    else:
+        raise ValueError(f"unknown builder {builder!r}")
     inst = circuit_cls.__new__(circuit_cls)  # no witness values needed
 
     decls = circuit_cls._inputs()

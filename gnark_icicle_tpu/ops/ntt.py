@@ -184,6 +184,20 @@ class Domain:
         return self._dit(self.F.mont_mul(coeffs_rev, scale), self.tw_fwd)
 
     @partial(jax.jit, static_argnums=0)
+    def coset_ntt_nat(self, coeffs):
+        """natural coefficients -> natural evals on the coset g·<omega>."""
+        return self.bit_reverse(
+            self._dif(self.F.mont_mul(coeffs, self.coset_pows), self.tw_fwd)
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def coset_intt_nat(self, evals):
+        """natural coset evals -> natural coefficients (incl. 1/N, g^-i)."""
+        x = self.bit_reverse(self._dif(evals, self.tw_inv))
+        x = self.F.mont_mul(x, self.coset_inv_pows)
+        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+
+    @partial(jax.jit, static_argnums=0)
     def coset_intt_nat_to_rev(self, evals):
         """natural coset evals -> bit-reversed coefficients (incl. 1/N, g^-i)."""
         x = self._dif(evals, self.tw_inv)

@@ -12,7 +12,6 @@ import sys
 import pytest
 
 
-@pytest.mark.timeout(1200)
 def test_sharded_kernels_8_devices():
     script = os.path.join(os.path.dirname(__file__), "parallel_check.py")
     env = dict(os.environ, JAX_PLATFORMS="cpu")

@@ -48,6 +48,25 @@ class DeviceCtx:
         self.msm_g1 = MSMKernel(self.g1_dev, bits)
         self.msm_g2 = MSMKernel(self.g2_dev, bits)
 
+        # fused Pallas group-law kernels on TPU (ops/ec_pallas.py); the jnp
+        # path stays authoritative on CPU and for small batches. Override
+        # with GNARK_TPU_PALLAS=0/1.
+        import os
+
+        flag = os.environ.get("GNARK_TPU_PALLAS", "auto")
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if flag == "1" or (flag == "auto" and on_tpu):
+            from .ops.ec_pallas import PallasEC
+
+            interpret = not on_tpu
+            self.g1_dev.pallas = PallasEC(
+                self.fp_dev, g1_b3, fp2=False, interpret=interpret
+            )
+            self.g2_dev.pallas = PallasEC(
+                self.fp_dev, (g2_b3.c0, g2_b3.c1), fp2=True,
+                interpret=interpret,
+            )
+
     # -- domains -----------------------------------------------------------
     def domain(self, log_n: int, coset: bool = False) -> Domain:
         return domain_for(self.fr_dev, self.curve.fr, log_n, coset=coset)

@@ -175,6 +175,21 @@ class DevCurve:
         self._initialized = True
         self.f = fops
         self.b3_host = b3_host
+        # Fused Pallas group-law kernels (ops/ec_pallas.py): attached by
+        # DeviceCtx on TPU backends; batches below the threshold stay on the
+        # fused-by-XLA jnp path (kernel launch isn't worth it for the tiny
+        # Horner/reduction steps).
+        self.pallas = None
+        self.pallas_min_batch = 2048
+
+    def _use_pallas(self, P) -> bool:
+        if self.pallas is None:
+            return False
+        leaf = jax.tree.leaves(P)[0]
+        n = 1
+        for d in leaf.shape[:-1]:
+            n *= d
+        return n >= self.pallas_min_batch
 
     # -- constructors -------------------------------------------------------
     def identity_like(self, x_coord):
@@ -201,6 +216,8 @@ class DevCurve:
     # -- complete group law (RCB16 alg. 7 / alg. 9, a = 0) -------------------
     @partial(jax.jit, static_argnums=0)
     def add(self, P, Q):
+        if self._use_pallas(P):
+            return self.pallas.add(P, Q)
         f = self.f
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
@@ -232,6 +249,8 @@ class DevCurve:
         point. Used by MSM inner loops where masked lanes substitute b3-free
         identity handling via select on the result instead.
         """
+        if self._use_pallas(P):
+            return self.pallas.add_mixed(P, Q_affine)
         f = self.f
         X1, Y1, Z1 = P
         X2, Y2 = Q_affine
@@ -254,6 +273,8 @@ class DevCurve:
 
     @partial(jax.jit, static_argnums=0)
     def double(self, P):
+        if self._use_pallas(P):
+            return self.pallas.double(P)
         f = self.f
         X, Y, Z = P
         b3 = self._b3(X)

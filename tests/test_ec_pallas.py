@@ -1,0 +1,96 @@
+"""Fused Pallas EC kernels vs the jnp reference path — bit-exact equality.
+
+(Interpret mode on CPU; the same kernels compile natively on TPU where
+DeviceCtx attaches them automatically.)"""
+
+import random
+
+import numpy as np
+import pytest
+import jax
+
+if jax.default_backend() == "cpu":
+    pytest.skip(
+        "pallas interpret mode is orders of magnitude too slow on this CPU; "
+        "the kernels compile and are asserted bit-exact on the TPU backend",
+        allow_module_level=True,
+    )
+
+from gnark_icicle_tpu.curves import bn254
+from gnark_icicle_tpu.ops.field import field_for
+from gnark_icicle_tpu.ops.ec import DevCurve, DevField, DevField2
+from gnark_icicle_tpu.ops.ec_pallas import PallasEC
+
+FP = field_for(bn254.P)
+G1 = DevCurve(DevField(FP), 9)
+G2_B3 = bn254.G2_B * 3
+G2 = DevCurve(DevField2(FP), (G2_B3.c0, G2_B3.c1))
+
+
+def _g1_batch(n, seed):
+    rng = random.Random(seed)
+    pts = [bn254.G1.random_point(rng) for _ in range(n)]
+    import jax.numpy as jnp
+
+    x = jnp.asarray(FP.encode([p[0] for p in pts]))
+    y = jnp.asarray(FP.encode([p[1] for p in pts]))
+    one = jnp.broadcast_to(jnp.asarray(FP.one_mont_np), x.shape)
+    return (x, y, one), (x, y)
+
+
+def _assert_tree_equal(a, b):
+    import jax
+
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.fixture(scope="module")
+def kern_g1():
+    return PallasEC(FP, 9, fp2=False, interpret=True)
+
+
+def test_pallas_add_mixed_matches(kern_g1):
+    P, _ = _g1_batch(17, 1)  # non-multiple of BLOCK exercises padding
+    _, Q = _g1_batch(17, 2)
+    _assert_tree_equal(kern_g1.add_mixed(P, Q), G1.add_mixed(P, Q))
+
+
+def test_pallas_add_matches(kern_g1):
+    P, _ = _g1_batch(9, 3)
+    Q3, _ = _g1_batch(9, 4)
+    _assert_tree_equal(kern_g1.add(P, Q3), G1.add(P, Q3))
+
+
+def test_pallas_double_matches(kern_g1):
+    P, _ = _g1_batch(5, 5)
+    _assert_tree_equal(kern_g1.double(P), G1.double(P))
+
+
+def test_pallas_add_mixed_identity_and_doubling(kern_g1):
+    """Completeness cases: P + P (doubling through add_mixed) and
+    identity + Q."""
+    import jax.numpy as jnp
+
+    P, Q = _g1_batch(4, 6)
+    same = kern_g1.add_mixed(P, Q)  # P == Q affine: doubling case
+    _assert_tree_equal(same, G1.add_mixed(P, Q))
+    ident = G1.identity_like(P[0])
+    res = kern_g1.add_mixed(ident, Q)
+    _assert_tree_equal(res, G1.add_mixed(ident, Q))
+
+
+def test_pallas_g2_add_mixed_matches():
+    kern = PallasEC(FP, (G2_B3.c0, G2_B3.c1), fp2=True, interpret=True)
+    rng = random.Random(7)
+    pts = [bn254.G2.random_point(rng) for _ in range(6)]
+    import jax.numpy as jnp
+    import jax
+
+    f2 = G2.f
+    x = jax.tree.map(jnp.asarray, f2.encode([p[0] for p in pts]))
+    y = jax.tree.map(jnp.asarray, f2.encode([p[1] for p in pts]))
+    one = f2.one_like(x)
+    P = (x, y, one)
+    _assert_tree_equal(kern.add_mixed(P, (x, y)), G2.add_mixed(P, (x, y)))
+    _assert_tree_equal(kern.double(P), G2.double(P))

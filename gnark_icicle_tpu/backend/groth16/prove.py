@@ -62,6 +62,11 @@ def _compute_h(ctx: DeviceCtx, a, b, c, log_n: int):
 def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
           rng=None) -> Proof:
     """Generate a Groth16 proof (≙ groth16.Prove, icicle path)."""
+    import time
+
+    from ...logger import logger
+
+    t_start = time.perf_counter()
     q = curve.fr.modulus
     ctx = DeviceCtx(curve)
     rand = rng.randrange if rng is not None else (
@@ -118,4 +123,8 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     krs = g1.add(krs, g1.scalar_mul(bs1, r))
     krs = g1.add(krs, g1.scalar_mul(pk.g1_delta, (-r * s) % q))
 
+    logger().info(
+        "groth16 prove: curve=%s constraints=%d took=%.3fs (acceleration=tpu)",
+        curve.name, cs.nb_constraints, time.perf_counter() - t_start,
+    )  # ≙ icicle.go:412 structured "done" log
     return Proof(ar=ar, krs=krs, bs=bs)

@@ -81,6 +81,10 @@ class SparseR1CS:
 
     def add_gate(self, xa, xb, xc, ql, qr, qm, qo, qc,
                  solved_wire: int = -1) -> int:
+        from .. import profile as _profile
+
+        if _profile.is_profiling():
+            _profile.record_constraint()
         q = self.q
         self.xa.append(xa)
         self.xb.append(xb)

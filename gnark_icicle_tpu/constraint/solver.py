@@ -170,6 +170,21 @@ def solve(cs: R1CS, public_values: list, secret_values: list) -> SolveResult:
         if v is None:
             wires[w] = 0  # unreferenced internal wires default to 0
 
+    # resolve api.Println entries now that wires are known (≙ solver
+    # LogEntry resolution, constraint/bn254/solver.go:256-326)
+    if cs.log_entries:
+        from ..logger import logger
+
+        for entry in cs.log_entries:
+            parts = []
+            for kind, payload in entry:
+                if kind == "const":
+                    parts.append(str(payload))
+                else:
+                    s = sum(coeffs[cid] * wires[wid] for cid, wid in payload)
+                    parts.append(str(s % q))
+            logger().info("circuit: %s", " ".join(parts))
+
     return SolveResult(wires, a, b, c)
 
 

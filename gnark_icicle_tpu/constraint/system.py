@@ -125,6 +125,10 @@ class R1CS:
         solved_wire ≥ 0 marks the single unknown wire the solver derives from
         this constraint (≙ gnark's blueprint solve index).
         """
+        from .. import profile as _profile
+
+        if _profile.is_profiling():  # ≙ profile.RecordConstraint (core.go:348)
+            _profile.record_constraint()
         base = len(self.term_coeff)
         self.l_off.append(base)
         for cid, wid in l_terms:

@@ -25,17 +25,30 @@ def _fp12_from_int(tp: TowerParams, x: int) -> Fp12:
     )
 
 
-def _untwist(tp: TowerParams, q):
-    """E'(Fp2) -> E(Fp12) for the D-twist y'² = x'³ + b/ξ.
+def _w2_w3(tp: TowerParams):
+    """The Fp12 elements w² (= v) and w³ (= v·w)."""
+    z = Fp2.zero(tp)
+    one = Fp2.one(tp)
+    w2 = Fp12(tp, Fp6(tp, z, one, z), Fp6.zero(tp))
+    w3 = Fp12(tp, Fp6.zero(tp), Fp6(tp, z, one, z))
+    return w2, w3
 
-    With the tower w² = v, v³ = ξ (so w⁶ = ξ): ψ(x', y') = (x'·w², y'·w³).
-    x'·w² = x'·v  → Fp6 coefficient b1 of a0;  y'·w³ = y'·v·w → b1 of a1.
+
+def _untwist(tp: TowerParams, q, m_twist: bool):
+    """E'(Fp2) -> E(Fp12).
+
+    D-twist (BN254, y'² = x'³ + b/ξ): ψ(x', y') = (x'·w², y'·w³).
+    M-twist (BLS12-381, y'² = x'³ + b·ξ): ψ(x', y') = (x'/w², y'/w³).
+    With the tower w² = v, v³ = ξ (so w⁶ = ξ) both land on E/Fp12.
     """
     x2, y2 = q
     z = Fp2.zero(tp)
-    x12 = Fp12(tp, Fp6(tp, z, x2, z), Fp6.zero(tp))
-    y12 = Fp12(tp, Fp6.zero(tp), Fp6(tp, z, y2, z))
-    return (x12, y12)
+    x12 = Fp12(tp, Fp6(tp, x2, z, z), Fp6.zero(tp))
+    y12 = Fp12(tp, Fp6(tp, y2, z, z), Fp6.zero(tp))
+    w2, w3 = _w2_w3(tp)
+    if m_twist:
+        return (x12 * w2.inv(), y12 * w3.inv())
+    return (x12 * w2, y12 * w3)
 
 
 def _line(tp, p1, p2, t):
@@ -123,7 +136,7 @@ class BNPairing:
         if p_g1 is None or q_g2 is None:
             return Fp12.one(tp)
         P = (_fp12_from_int(tp, p_g1[0]), _fp12_from_int(tp, p_g1[1]))
-        Q = _untwist(tp, q_g2)
+        Q = _untwist(tp, q_g2, m_twist=False)
         f = Fp12.one(tp)
         R = Q
         t = self.loop_count
@@ -174,20 +187,55 @@ class BNPairing:
         ) == Fp12.one(self.tp)
 
 
-def _bn254_pairing() -> BNPairing:
-    from . import bn254
+class BLSPairing(BNPairing):
+    """Optimal ate pairing for a BLS12 curve (M-twist, loop count |x|,
+    conjugation for the negative seed; no BN Frobenius end steps)."""
 
-    return BNPairing(bn254.TOWER, bn254.P, bn254.R, bn254.X_SEED)
+    def __init__(self, tp: TowerParams, p: int, r: int, x_seed: int):
+        super().__init__(tp, p, r, abs(x_seed))
+        self.loop_count = abs(x_seed)
+        self.x_negative = x_seed < 0
+
+    def miller_loop(self, p_g1, q_g2) -> Fp12:
+        tp = self.tp
+        if p_g1 is None or q_g2 is None:
+            return Fp12.one(tp)
+        P = (_fp12_from_int(tp, p_g1[0]), _fp12_from_int(tp, p_g1[1]))
+        Q = _untwist(tp, q_g2, m_twist=True)
+        f = Fp12.one(tp)
+        R = Q
+        for bit in bin(self.loop_count)[3:]:
+            f = f * f * _line(tp, R, R, P)
+            R = _ec_double12(R)
+            if bit == "1":
+                f = f * _line(tp, R, Q, P)
+                R = _ec_add12(R, Q)
+        if self.x_negative:
+            f = f.conjugate()  # f^(p^6) — inversion in the cyclotomic group
+        return f
 
 
-_ENGINE = None
+_ENGINES: dict = {}
 
 
 def _engine() -> BNPairing:
-    global _ENGINE
-    if _ENGINE is None:
-        _ENGINE = _bn254_pairing()
-    return _ENGINE
+    if "bn254" not in _ENGINES:
+        from . import bn254
+
+        _ENGINES["bn254"] = BNPairing(
+            bn254.TOWER, bn254.P, bn254.R, bn254.X_SEED
+        )
+    return _ENGINES["bn254"]
+
+
+def _engine_bls() -> BLSPairing:
+    if "bls12-381" not in _ENGINES:
+        from . import bls12_381 as bls
+
+        _ENGINES["bls12-381"] = BLSPairing(
+            bls.TOWER, bls.P, bls.R, bls.X_SEED
+        )
+    return _ENGINES["bls12-381"]
 
 
 def pairing_bn254(p_g1, q_g2) -> Fp12:
@@ -200,3 +248,15 @@ def multi_pairing_bn254(p_list, q_list) -> Fp12:
 
 def pairing_check_bn254(pairs) -> bool:
     return _engine().pairing_check(pairs)
+
+
+def pairing_bls12_381(p_g1, q_g2) -> Fp12:
+    return _engine_bls().pair(p_g1, q_g2)
+
+
+def multi_pairing_bls12_381(p_list, q_list) -> Fp12:
+    return _engine_bls().multi_pairing(p_list, q_list)
+
+
+def pairing_check_bls12_381(pairs) -> bool:
+    return _engine_bls().pairing_check(pairs)

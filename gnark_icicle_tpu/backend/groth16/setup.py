@@ -122,17 +122,39 @@ def setup(cs: R1CS, curve, rng=None):
     def mul_g2(s):
         return g2.scalar_mul(G2, s)
 
+    # batch scalar-muls ride the device fixed-base kernel above a size
+    # threshold (≙ BatchScalarMultiplicationG1/G2, setup.go:251,320)
+    from ...device import DeviceCtx
+    from ...ops.fixed_base import batch_scalar_mul_host
+
+    ctx = DeviceCtx(curve)
+    bits = q.bit_length()
+
+    def batch_g1(scalars):
+        if len(scalars) < 256:
+            return [mul_g1(s) for s in scalars]
+        return batch_scalar_mul_host(
+            ctx.g1_dev, g1, ctx.fr_scalars, G1, scalars, bits
+        )
+
+    def batch_g2(scalars):
+        if len(scalars) < 256:
+            return [mul_g2(s) for s in scalars]
+        return batch_scalar_mul_host(
+            ctx.g2_dev, g2, ctx.fr_scalars, G2, scalars, bits
+        )
+
     pk = ProvingKey(
         g1_alpha=mul_g1(alpha),
         g1_beta=mul_g1(beta),
         g1_delta=mul_g1(delta),
         g2_beta=mul_g2(beta),
         g2_delta=mul_g2(delta),
-        g1_a=[mul_g1(s) for s in A],
-        g1_b=[mul_g1(s) for s in B],
-        g2_b=[mul_g2(s) for s in B],
-        g1_k=[mul_g1(s) for s in pk_k_scalars],
-        g1_z=_bit_reverse_list([mul_g1(s) for s in z_scalars], n),
+        g1_a=batch_g1(A),
+        g1_b=batch_g1(B),
+        g2_b=batch_g2(B),
+        g1_k=batch_g1(pk_k_scalars),
+        g1_z=_bit_reverse_list(batch_g1(z_scalars), n),
         domain_log_n=log_n,
     )
     vk = VerifyingKey(
@@ -140,10 +162,29 @@ def setup(cs: R1CS, curve, rng=None):
         g2_beta=pk.g2_beta,
         g2_gamma=mul_g2(gamma),
         g2_delta=pk.g2_delta,
-        g1_k=[mul_g1(s) for s in vk_k_scalars],
+        g1_k=batch_g1(vk_k_scalars),
         nb_public=nb_pub,
     )
     return pk, vk
+
+
+def dummy_setup(cs: R1CS, curve) -> ProvingKey:
+    """Fake PK for prove-latency benchmarking without a ceremony
+    (≙ groth16.DummySetup, setup.go:494: every point is a fixed small
+    multiple of the generator; proofs are NOT verifiable)."""
+    log_n = _next_pow2_log(max(cs.nb_constraints, 2))
+    n = 1 << log_n
+    g1, g2 = curve.g1, curve.g2
+    p1 = g1.scalar_mul(g1.generator, 42)
+    p2 = g2.scalar_mul(g2.generator, 42)
+    nw = cs.nb_wires
+    return ProvingKey(
+        g1_alpha=p1, g1_beta=p1, g1_delta=p1, g2_beta=p2, g2_delta=p2,
+        g1_a=[p1] * nw, g1_b=[p1] * nw, g2_b=[p2] * nw,
+        g1_k=[p1] * (nw - cs.nb_public),
+        g1_z=[p1] * (n - 1) + [None],
+        domain_log_n=log_n,
+    )
 
 
 def _bit_reverse_list(points, n: int):

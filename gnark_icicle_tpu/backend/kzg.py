@@ -45,11 +45,22 @@ def unsafe_srs(curve, size: int, tau: int | None = None, rng=None) -> SRS:
     if tau is None:
         tau = (rng.randrange if rng else (lambda m: secrets.randbelow(m - 1) + 1))(q)
     g1 = curve.g1
-    powers = []
+    scalars = []
     acc = 1
     for _ in range(size):
-        powers.append(g1.scalar_mul(g1.generator, acc))
+        scalars.append(acc)
         acc = acc * tau % q
+    if size >= 256:  # device fixed-base batch (≙ kzgsrs.go SRS build)
+        from .. import device as _device
+        from ..ops.fixed_base import batch_scalar_mul_host
+
+        ctx = _device.DeviceCtx(curve)
+        powers = batch_scalar_mul_host(
+            ctx.g1_dev, g1, ctx.fr_scalars, g1.generator, scalars,
+            q.bit_length(),
+        )
+    else:
+        powers = [g1.scalar_mul(g1.generator, s) for s in scalars]
     return SRS(
         g1_powers=powers,
         g2_gen=curve.g2.generator,

@@ -141,11 +141,10 @@ class DevField2:
         )
 
     def encode(self, vals):
-        """vals: list of host Fp2 -> pair of (N, K) arrays."""
-        return (
-            self.F.encode([v.c0 for v in vals]),
-            self.F.encode([v.c1 for v in vals]),
-        )
+        """vals: host Fp2 objects or (c0, c1) tuples -> pair of (N, K)."""
+        c0s = [v.c0 if hasattr(v, "c0") else v[0] for v in vals]
+        c1s = [v.c1 if hasattr(v, "c1") else v[1] for v in vals]
+        return (self.F.encode(c0s), self.F.encode(c1s))
 
     def decode(self, arr):
         c0s = self.F.decode(arr[0])

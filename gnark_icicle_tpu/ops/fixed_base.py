@@ -1,0 +1,120 @@
+"""Batched fixed-base scalar multiplication + batch normalization (device).
+
+Role parity: gnark-crypto's BatchScalarMultiplicationG1/G2 as used by
+Groth16 Setup (reference setup.go:251,320 — one batch for all pk/vk points)
+and by SRS generation (test/unsafekzg). TPU shape: precompute the 2^i·G
+ladder on host (cheap — one point), upload once, then one lax.scan of masked
+complete mixed-adds over all scalars; work is bits·N adds, fully batched, and
+rides the fused Pallas group-law kernels when attached.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import LimbField, I32
+from .ec import DevCurve
+
+
+class FixedBaseMul:
+    """scalars × one base point, batched over the scalars."""
+
+    _cache: dict = {}
+
+    def __new__(cls, dev_curve: DevCurve, host_group, base, scalar_bits: int):
+        key = (id(dev_curve), repr(base), scalar_bits)
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        cls._cache[key] = self
+        return self
+
+    def __init__(self, dev_curve: DevCurve, host_group, base,
+                 scalar_bits: int):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.curve = dev_curve
+        self.bits = scalar_bits
+        # host ladder 2^i · base (affine; base has prime order so no ∞)
+        pows = []
+        cur = base
+        for _ in range(scalar_bits):
+            pows.append(cur)
+            cur = host_group.add(cur, cur)
+        f = dev_curve.f
+        self.ladder_x = jax.tree.map(
+            jnp.asarray, f.encode([p[0] for p in pows])
+        )
+        self.ladder_y = jax.tree.map(
+            jnp.asarray, f.encode([p[1] for p in pows])
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def mul(self, scalar_limbs):
+        """(N, Kr) plain 16-bit limbs -> projective points (leaves (N, K))."""
+        curve = self.curve
+        n = scalar_limbs.shape[0]
+        x0 = jax.tree.map(lambda a: a[0], self.ladder_x)
+        acc = curve.identity_like(
+            jax.tree.map(
+                lambda a: jnp.zeros((n,) + a.shape, a.dtype), x0
+            )
+        )
+
+        def body(acc, i):
+            limb = scalar_limbs[:, i // 16]
+            bit = (limb >> (i % 16)) & 1
+            px = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[i], (n,) + a.shape[1:]),
+                self.ladder_x,
+            )
+            py = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[i], (n,) + a.shape[1:]),
+                self.ladder_y,
+            )
+            added = curve.add_mixed(acc, (px, py))
+            acc = curve.select(bit.astype(bool), added, acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(self.bits))
+        return acc
+
+
+def batch_normalize(dev_curve: DevCurve, P):
+    """Projective -> affine on device (Fermat inversion), plus ∞ mask.
+
+    Returns ((x, y), inf_mask) in the MSM kernel's input layout.
+    """
+    f = dev_curve.f
+    X, Y, Z = P
+    if hasattr(f, "F") and not isinstance(jax.tree.leaves(X)[0], tuple) \
+            and not isinstance(X, tuple):
+        F = f.F
+        inf = F.is_zero(Z)
+        zi = F.mont_inv(Z)
+        return (F.mont_mul(X, zi), F.mont_mul(Y, zi)), inf
+    # Fp2 coordinates
+    F = f.F
+    z0, z1 = Z
+    inf = jnp.logical_and(F.is_zero(z0), F.is_zero(z1))
+    norm = F.add(F.mont_mul(z0, z0), F.mont_mul(z1, z1))
+    ninv = F.mont_inv(norm)
+    zi = (F.mont_mul(z0, ninv), F.neg(F.mont_mul(z1, ninv)))
+    return (f.mul(X, zi), f.mul(Y, zi)), inf
+
+
+def batch_scalar_mul_host(dev_curve: DevCurve, host_group, ctx_fr_scalars,
+                          base, scalars, scalar_bits: int):
+    """Host ints -> list of host affine points (None = infinity).
+
+    Device compute, host I/O — the Setup/SRS convenience path.
+    """
+    fb = FixedBaseMul(dev_curve, host_group, base, scalar_bits)
+    proj = fb.mul(ctx_fr_scalars(scalars))
+    p_mod = dev_curve.f.F.modulus
+    return dev_curve.to_affine_host(proj, p_mod)

@@ -56,32 +56,39 @@ class FixedBaseMul:
 
     @partial(jax.jit, static_argnums=0)
     def mul(self, scalar_limbs):
-        """(N, Kr) plain 16-bit limbs -> projective points (leaves (N, K))."""
+        """(N, Kr) plain 16-bit limbs -> projective points (leaves (N, K)).
+
+        The ladder points and the per-bit masks ride the scan as xs (sliced
+        by lax.scan itself) — no dynamic gathers in the body.
+        """
         curve = self.curve
         n = scalar_limbs.shape[0]
+        # bits matrix (bits, N): bit i of every scalar
+        limb_idx = np.arange(self.bits) // 16
+        shift = np.arange(self.bits) % 16
+        bits = (
+            (scalar_limbs[:, limb_idx] >> shift[None, :]) & 1
+        ).T.astype(bool)  # (bits, N)
+
         x0 = jax.tree.map(lambda a: a[0], self.ladder_x)
         acc = curve.identity_like(
-            jax.tree.map(
-                lambda a: jnp.zeros((n,) + a.shape, a.dtype), x0
-            )
+            jax.tree.map(lambda a: jnp.zeros((n,) + a.shape, a.dtype), x0)
         )
 
-        def body(acc, i):
-            limb = scalar_limbs[:, i // 16]
-            bit = (limb >> (i % 16)) & 1
-            px = jax.tree.map(
-                lambda a: jnp.broadcast_to(a[i], (n,) + a.shape[1:]),
-                self.ladder_x,
+        def body(acc, xs):
+            px, py, bit = xs
+            pxb = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), px
             )
-            py = jax.tree.map(
-                lambda a: jnp.broadcast_to(a[i], (n,) + a.shape[1:]),
-                self.ladder_y,
+            pyb = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), py
             )
-            added = curve.add_mixed(acc, (px, py))
-            acc = curve.select(bit.astype(bool), added, acc)
-            return acc, None
+            added = curve.add_mixed(acc, (pxb, pyb))
+            return curve.select(bit, added, acc), None
 
-        acc, _ = jax.lax.scan(body, acc, jnp.arange(self.bits))
+        acc, _ = jax.lax.scan(
+            body, acc, (self.ladder_x, self.ladder_y, bits)
+        )
         return acc
 
 

@@ -37,12 +37,19 @@ def _compute_h(ctx: DeviceCtx, a, b, c, log_n: int):
     q = ctx.curve.fr.modulus
     n = 1 << log_n
     F = ctx.fr_dev
+
+    import numpy as np
+
     dom = ctx.domain(log_n, coset=True)
 
-    pad = [0] * (n - len(a))
-    ea = ctx.fr_mont(a + pad)
-    eb = ctx.fr_mont(b + pad)
-    ec = ctx.fr_mont(c + pad)
+    def pad_mont(v):
+        if isinstance(v, np.ndarray):
+            v = np.pad(v, [(0, n - v.shape[0]), (0, 0)])
+        else:
+            v = v + [0] * (n - len(v))
+        return ctx.fr_mont(v)
+
+    ea, eb, ec = pad_mont(a), pad_mont(b), pad_mont(c)
 
     g = ctx.curve.fr.multiplicative_generator
     den = pow((pow(g, n, q) - 1) % q, -1, q)
@@ -77,14 +84,16 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     log_n = pk.domain_log_n
     n = 1 << log_n
 
-    # --- device phase -----------------------------------------------------
-    h_scalars = _compute_h(ctx, res.a, res.b, res.c, log_n)
+    # --- device phase (limb arrays straight from the solver — no host
+    # bigint conversions on the hot path) ----------------------------------
+    h_scalars = _compute_h(ctx, res.a_u16(), res.b_u16(), res.c_u16(), log_n)
 
     dev = pk.device_arrays(ctx)
-    wires = ctx.fr_scalars(res.wires)
-    priv_wires = ctx.fr_scalars(res.wires[cs.nb_public:])
+    wires_u16 = res.wires_u16()
+    wires = ctx.fr_scalars(wires_u16)
+    priv_wires = ctx.fr_scalars(wires_u16[cs.nb_public:])
 
-    nw = len(res.wires)
+    nw = wires_u16.shape[0]
     c_all = pick_window(nw)
     ar_dev = ctx.msm_g1.msm(dev["a"][0], dev["a"][1], wires, c_all)
     bs1_dev = ctx.msm_g1.msm(dev["b1"][0], dev["b1"][1], wires, c_all)

@@ -28,20 +28,70 @@ class UnsatisfiedConstraintError(Exception):
         super().__init__(f"constraint #{idx} unsatisfied{where}: {msg}")
 
 
-@dataclass
 class SolveResult:
-    wires: list  # full assignment, wire id -> int
-    a: list  # per-constraint L evaluation
-    b: list
-    c: list
+    """Solved assignment + a/b/c vectors.
+
+    The native path stores plain-form (N, 4)-uint64 numpy arrays and
+    materializes Python ints lazily; `*_u16()` accessors expose the device
+    16-bit-limb layout as zero-copy views (the prover's fast path).
+    """
+
+    def __init__(self, wires=None, a=None, b=None, c=None, u64=None):
+        self._ints = {"wires": wires, "a": a, "b": b, "c": c}
+        self._u64 = u64 or {}
+
+    def _get(self, name):
+        if self._ints[name] is None:
+            from ..native import u64x4_to_ints
+
+            self._ints[name] = u64x4_to_ints(self._u64[name])
+        return self._ints[name]
+
+    wires = property(lambda s: s._get("wires"))
+    a = property(lambda s: s._get("a"))
+    b = property(lambda s: s._get("b"))
+    c = property(lambda s: s._get("c"))
+
+    def _u16(self, name):
+        """(N, 16) int32 16-bit-limb view (plain form, device layout)."""
+        import numpy as np
+
+        if name in self._u64:
+            arr = np.ascontiguousarray(self._u64[name])
+            return arr.view(np.uint16).astype(np.int32)
+        from ..ops.msm import scalars_to_limbs
+
+        return scalars_to_limbs(self._ints[name], 16)
+
+    def wires_u16(self):
+        return self._u16("wires")
+
+    def a_u16(self):
+        return self._u16("a")
+
+    def b_u16(self):
+        return self._u16("b")
+
+    def c_u16(self):
+        return self._u16("c")
 
 
-def solve(cs: R1CS, public_values: list, secret_values: list) -> SolveResult:
+def solve(cs: R1CS, public_values: list, secret_values: list,
+          native: str | bool = "auto") -> SolveResult:
     """Derive all wires from the input assignment.
 
     public_values: values of public wires 1..nb_public-1 (ONE is implicit)
     secret_values: values of the nb_secret secret wires
+    native: True / False / "auto" — large systems route through the C++
+    4x64-Montgomery core (gnark_icicle_tpu.native, ≙ gnark-crypto's asm
+    layer); identical results, orders of magnitude faster host solve.
     """
+    if native is True or (native == "auto" and cs.nb_constraints >= 512):
+        from ..native import solve_native
+
+        res = solve_native(cs, public_values, secret_values)
+        if res is not None:
+            return res
     q = cs.q
     if len(public_values) != cs.nb_public - 1:
         raise ValueError(

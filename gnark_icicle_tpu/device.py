@@ -73,14 +73,21 @@ class DeviceCtx:
 
     # -- host <-> device conversions ----------------------------------------
     def fr_scalars(self, values) -> jnp.ndarray:
-        """Host ints -> plain-form limb array (MSM scalar input)."""
+        """Host ints or (N, K) int32 limb array -> plain-form limbs."""
+        if isinstance(values, np.ndarray) and values.ndim == 2:
+            return jnp.asarray(values.astype(np.int32))
         return jnp.asarray(
             scalars_to_limbs([v % self.curve.fr.modulus for v in values],
                              self.fr_dev.K)
         )
 
     def fr_mont(self, values) -> jnp.ndarray:
-        """Host ints -> Montgomery-form limb array (NTT input)."""
+        """Host ints or plain limb array -> Montgomery-form limbs.
+
+        Array inputs convert on device (to_mont = one mont_mul by R²) — the
+        native-solver fast path never touches Python bigints."""
+        if isinstance(values, np.ndarray) and values.ndim == 2:
+            return self.fr_dev.to_mont(jnp.asarray(values.astype(np.int32)))
         return jnp.asarray(self.fr_dev.encode(values))
 
     def g1_points(self, points_host):

@@ -1,0 +1,255 @@
+"""ctypes bridge to the C++ solver core (native/solver.cc).
+
+Role parity: gnark-crypto's assembly field arithmetic + the generated Go
+solver (SURVEY.md §2.3 "gnark-crypto asm" row — the host-side native layer).
+The library is compiled on first use with g++ and cached next to the source;
+absence of a toolchain degrades gracefully to the pure-Python solver.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LIB = None
+_LIB_LOCK = threading.Lock()
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+
+
+def _build() -> str | None:
+    src = os.path.join(_SRC_DIR, "solver.cc")
+    out = os.path.join(_SRC_DIR, "libsolver.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-o", out, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        return out
+    except Exception:
+        return None
+
+
+def get_lib():
+    """The loaded library, or None when unavailable."""
+    global _LIB
+    with _LIB_LOCK:
+        if _LIB is not None:
+            return _LIB or None
+        path = _build()
+        if path is None:
+            _LIB = False
+            return None
+        lib = ctypes.CDLL(path)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_longlong)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.r1cs_solve_run.restype = ctypes.c_longlong
+        lib.r1cs_solve_run.argtypes = [
+            u64p, ctypes.c_uint64,  # p, inv
+            u64p,                   # coeffs
+            u32p, u32p,             # term_coeff, term_wire
+            i64p, i64p, i64p,       # l_off, r_off, o_off
+            i64p,                   # solved_wire
+            i64p, ctypes.c_longlong, ctypes.c_longlong,  # order, n_run, n_cons
+            u64p, u8p,              # wires, assigned
+            u64p, u64p,             # abc, one_mont
+        ]
+        lib.from_mont_batch.restype = None
+        lib.from_mont_batch.argtypes = [
+            u64p, ctypes.c_uint64, u64p, ctypes.c_longlong
+        ]
+        lib.to_mont_batch.restype = None
+        lib.to_mont_batch.argtypes = [
+            u64p, ctypes.c_uint64, u64p, u64p, ctypes.c_longlong
+        ]
+        _LIB = lib
+        return lib
+
+
+def ints_to_u64x4(xs) -> np.ndarray:
+    out = np.zeros((len(xs), 4), dtype=np.uint64)
+    for i, x in enumerate(xs):
+        x = int(x)
+        out[i, 0] = x & 0xFFFFFFFFFFFFFFFF
+        out[i, 1] = (x >> 64) & 0xFFFFFFFFFFFFFFFF
+        out[i, 2] = (x >> 128) & 0xFFFFFFFFFFFFFFFF
+        out[i, 3] = (x >> 192) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def u64x4_to_ints(arr) -> list:
+    arr = np.ascontiguousarray(arr, dtype=np.uint64)
+    return [
+        int(r[0]) | (int(r[1]) << 64) | (int(r[2]) << 128) | (int(r[3]) << 192)
+        for r in arr
+    ]
+
+
+class NativeField:
+    """Host 4x64 Montgomery context for one fr modulus."""
+
+    _cache: dict = {}
+
+    def __new__(cls, q: int):
+        if q in cls._cache:
+            return cls._cache[q]
+        self = super().__new__(cls)
+        cls._cache[q] = self
+        return self
+
+    def __init__(self, q: int):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        assert q < (1 << 256) and q % 2 == 1
+        self.q = q
+        self.R = 1 << 256
+        self.Rinv = pow(self.R, -1, q)
+        self.inv64 = (-pow(q, -1, 1 << 64)) % (1 << 64)
+        self.p_arr = ints_to_u64x4([q])[0].copy()
+        self.one_mont = ints_to_u64x4([self.R % q])[0].copy()
+
+    def to_mont_ints(self, xs):
+        return [int(x) % self.q * self.R % self.q for x in xs]
+
+    def from_mont_int(self, x: int) -> int:
+        return x * self.Rinv % self.q
+
+
+def solve_native(cs, public_values, secret_values):
+    """Native-core solve; same contract as constraint.solver.solve.
+
+    Returns None when the native library is unavailable (caller falls back).
+    """
+    lib = get_lib()
+    if lib is None or cs.q >= (1 << 256):
+        return None
+    from .constraint.system import INSTR_R1C, INSTR_HINT
+    from .constraint.solver import SolveResult, UnsatisfiedConstraintError
+    from .constraint.hints import get_hint, hint_name
+
+    q = cs.q
+    nf = NativeField(q)
+    if len(public_values) != cs.nb_public - 1 or len(secret_values) != cs.nb_secret:
+        raise ValueError("bad input lengths")
+
+    nw = cs.nb_wires
+    n_cons = cs.nb_constraints
+    wires = np.zeros((nw, 4), dtype=np.uint64)
+    assigned = np.zeros(nw, dtype=np.uint8)
+    init_vals = [1] + [int(v) for v in public_values] + [int(v) for v in secret_values]
+    wires[: len(init_vals)] = ints_to_u64x4(nf.to_mont_ints(init_vals))
+    assigned[: len(init_vals)] = 1
+
+    coeffs_m = ints_to_u64x4(nf.to_mont_ints(cs.coeffs))
+    term_coeff = np.asarray(cs.term_coeff, dtype=np.uint32)
+    term_wire = np.asarray(cs.term_wire, dtype=np.uint32)
+    l_off = np.asarray(cs.l_off + [len(cs.term_coeff)], dtype=np.int64)
+    r_off = np.asarray(cs.r_off, dtype=np.int64)
+    o_off = np.asarray(cs.o_off, dtype=np.int64)
+    solved = np.asarray(cs.solved_wire, dtype=np.int64)
+    abc = np.zeros((3, max(n_cons, 1), 4), dtype=np.uint64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    def run(order):
+        order = np.asarray(order, dtype=np.int64)
+        rc = lib.r1cs_solve_run(
+            ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
+            ptr(coeffs_m, ctypes.c_uint64),
+            ptr(term_coeff, ctypes.c_uint32), ptr(term_wire, ctypes.c_uint32),
+            ptr(l_off, ctypes.c_longlong), ptr(r_off, ctypes.c_longlong),
+            ptr(o_off, ctypes.c_longlong), ptr(solved, ctypes.c_longlong),
+            ptr(order, ctypes.c_longlong), len(order), n_cons,
+            ptr(wires, ctypes.c_uint64), ptr(assigned, ctypes.c_uint8),
+            ptr(abc, ctypes.c_uint64), ptr(nf.one_mont, ctypes.c_uint64),
+        )
+        if rc >= 0:
+            raise UnsatisfiedConstraintError(
+                int(rc), "constraint unsatisfied (native solver)",
+                cs.constraint_origins[int(rc)],
+            )
+
+    def wire_val(w: int) -> int:
+        row = wires[w]
+        x = int(row[0]) | (int(row[1]) << 64) | (int(row[2]) << 128) | (int(row[3]) << 192)
+        return nf.from_mont_int(x)
+
+    pending: list = []
+    for kind, idx in cs.instructions:
+        if kind == INSTR_R1C:
+            pending.append(idx)
+            continue
+        if pending:
+            run(pending)
+            pending = []
+        h = cs.hints[idx]
+        ins = []
+        for expr in h.inputs:
+            s = 0
+            for cid, wid in expr:
+                if not assigned[wid]:
+                    raise UnsatisfiedConstraintError(
+                        -1, f"hint input wire {wid} unsolved"
+                    )
+                s += cs.coeffs[cid] * wire_val(wid)
+            ins.append(s % q)
+        ins.extend(h.static_args)
+        try:
+            outs = get_hint(h.hint_id)(q, ins)
+        except Exception as e:  # noqa: BLE001
+            raise UnsatisfiedConstraintError(
+                -1, f"hint {hint_name(h.hint_id)} failed: {e}"
+            ) from e
+        if len(outs) != len(h.outputs):
+            raise UnsatisfiedConstraintError(
+                -1, f"hint {hint_name(h.hint_id)} arity mismatch"
+            )
+        mont = ints_to_u64x4(nf.to_mont_ints(outs))
+        for wid, row in zip(h.outputs, mont):
+            wires[wid] = row
+            assigned[wid] = 1
+    if pending:
+        run(pending)
+
+    # batch Montgomery -> plain in C++ (the Python bigint path here would
+    # dominate the whole solve)
+    wires[assigned == 0] = 0
+    lib.from_mont_batch(
+        ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
+        ptr(wires, ctypes.c_uint64), nw,
+    )
+    abc_flat = np.ascontiguousarray(abc[:, :n_cons].reshape(-1, 4))
+    lib.from_mont_batch(
+        ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
+        ptr(abc_flat, ctypes.c_uint64), 3 * n_cons,
+    )
+    abc_plain = abc_flat.reshape(3, n_cons, 4)
+    res = SolveResult(u64={
+        "wires": wires,
+        "a": abc_plain[0], "b": abc_plain[1], "c": abc_plain[2],
+    })
+
+    # println resolution mirrors the Python path
+    if cs.log_entries:
+        from .logger import logger
+
+        for entry in cs.log_entries:
+            parts = []
+            for kind2, payload in entry:
+                if kind2 == "const":
+                    parts.append(str(payload))
+                else:
+                    s = sum(cs.coeffs[cid] * res.wires[wid]
+                            for cid, wid in payload)
+                    parts.append(str(s % q))
+            logger().info("circuit: %s", " ".join(parts))
+    return res

@@ -1,0 +1,65 @@
+"""Native C++ solver core vs the pure-Python solver — identical results.
+
+(≙ the reference's trust in gnark-crypto asm: same results as the generic
+path, exercised across the corpus + a large hint-heavy circuit.)"""
+
+import random
+import time
+
+import pytest
+
+from gnark_icicle_tpu.curves import bn254
+from gnark_icicle_tpu.frontend import compile_circuit
+from gnark_icicle_tpu.constraint import solve, UnsatisfiedConstraintError
+from gnark_icicle_tpu.native import get_lib, solve_native, NativeField, ints_to_u64x4, u64x4_to_ints
+
+from circuits import corpus
+
+Q = bn254.R
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="no C++ toolchain available"
+)
+
+
+def test_u64x4_roundtrip():
+    xs = [0, 1, Q - 1, 1 << 200, 123456789]
+    assert u64x4_to_ints(ints_to_u64x4(xs)) == xs
+
+
+@pytest.mark.parametrize("name,cls,valid,invalid", corpus(Q),
+                         ids=[c[0] for c in corpus(Q)])
+def test_native_matches_python(name, cls, valid, invalid):
+    cs = compile_circuit(Q, cls)
+    for assignment in valid:
+        pub, sec = cls(**assignment).witness_values(Q)
+        py = solve(cs, pub, sec, native=False)
+        nat = solve_native(cs, pub, sec)
+        assert nat.wires == py.wires, f"{name}: wire mismatch"
+        assert nat.a == py.a and nat.b == py.b and nat.c == py.c
+    for assignment in invalid:
+        pub, sec = cls(**assignment).witness_values(Q)
+        with pytest.raises(Exception):
+            solve_native(cs, pub, sec)
+
+
+def test_native_rollup_scale():
+    """21k-constraint circuit: native must agree with Python and be fast."""
+    import examples.rollup as rollup
+
+    op = rollup.Operator()
+    w = op.transfer(0, 1, 250)
+    cs = compile_circuit(Q, rollup.TransferCircuit)
+    pub, sec = w.witness_values(Q)
+
+    t0 = time.perf_counter()
+    nat = solve_native(cs, pub, sec)
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    py = solve(cs, pub, sec, native=False)
+    t_py = time.perf_counter() - t0
+    assert nat.wires == py.wires
+    assert nat.a == py.a and nat.b == py.b and nat.c == py.c
+    # not a strict perf assert (CI noise) — just record the ratio
+    print(f"native {t_nat*1e3:.0f} ms vs python {t_py*1e3:.0f} ms "
+          f"({t_py/max(t_nat,1e-9):.0f}x)")

@@ -81,11 +81,19 @@ class KZG:
     def commit(self, coeffs: list) -> tuple:
         """[p(τ)]₁ for coefficient list (host ints, low-to-high degree)."""
         n = len(coeffs)
-        assert n <= len(self.srs.g1_powers), "SRS too small"
         if n == 0:
             return None
+        return self._commit_scal(self.ctx.fr_scalars(coeffs), n)
+
+    def commit_mont(self, coeffs_mont) -> tuple:
+        """[p(τ)]₁ for a device Montgomery-form (n, K) coefficient array —
+        the PLONK quotient path commits without any host round-trip."""
+        n = coeffs_mont.shape[0]
+        return self._commit_scal(self.ctx.fr_dev.from_mont(coeffs_mont), n)
+
+    def _commit_scal(self, scal, n):
+        assert n <= len(self.srs.g1_powers), "SRS too small"
         pts, inf = self.srs.device_points(self.ctx, n)
-        scal = self.ctx.fr_scalars(coeffs)
         res = self.ctx.msm_g1.msm(pts, inf, scal, pick_window(n))
         return self.ctx.g1_to_host(res)
 

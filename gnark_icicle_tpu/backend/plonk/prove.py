@@ -58,6 +58,88 @@ def _eval_poly(coeffs: list, z: int, q: int) -> int:
     return acc
 
 
+_DOMAIN_TABLES: dict = {}
+
+
+def _quotient_tables(ctx, dom4, n: int, g: int, eta: int, q: int):
+    """Device tables for the 4n coset: x-values, L1(x), 1/Z_H(x) (cached per
+    domain — they are proof-independent)."""
+    key = (q, n)
+    if key in _DOMAIN_TABLES:
+        return _DOMAIN_TABLES[key]
+    import jax.numpy as jnp
+
+    from ...ops.ntt import _pow_table
+    from ...ops.field import I32
+
+    F = ctx.fr_dev
+    eta_m = jnp.asarray(F.encode([eta])[0], dtype=I32)
+    g_m = jnp.asarray(F.encode([g])[0], dtype=I32)
+    xs = F.mont_mul(
+        _pow_table(F, eta_m, 4 * n), jnp.broadcast_to(g_m, (4 * n, F.K))
+    )
+    gn = pow(g, n, q)
+    etan = pow(eta, n, q)
+    zh_cycle = [(gn * pow(etan, t, q) - 1) % q for t in range(4)]
+    zh_inv = jnp.asarray(F.encode(
+        [pow(v, -1, q) for v in zh_cycle] * n
+    ))  # (4n, K), cycling with period 4
+    zh_vals = jnp.asarray(F.encode(zh_cycle * n))
+    # L1(x) = Z_H(x) / (n (x − 1))
+    n_m = jnp.asarray(F.encode([n])[0], dtype=I32)
+    one_m = F.ones_mont((4 * n,)).astype(I32)
+    dens = F.mont_mul(
+        jnp.broadcast_to(n_m, (4 * n, F.K)), F.sub(xs, one_m)
+    )
+    l1 = F.mont_mul(zh_vals, F.mont_inv(dens))
+    _DOMAIN_TABLES[key] = (xs, l1, zh_inv)
+    return _DOMAIN_TABLES[key]
+
+
+def _quotient_device(ctx, dom4, ev, n, beta, gamma, alpha, k1, k2, g, eta, q):
+    """Pointwise quotient on the 4n coset, fully on device
+    (≙ computeNumerator's hot loop, prove.go:771-1034 — there CPU-parallel,
+    here one fused elementwise pass over Montgomery limb arrays)."""
+    import jax.numpy as jnp
+
+    F = ctx.fr_dev
+    xs, l1, zh_inv = _quotient_tables(ctx, dom4, n, g, eta, q)
+
+    def const(v):
+        return jnp.broadcast_to(
+            jnp.asarray(F.encode([v % q])[0]), (4 * n, F.K)
+        ).astype(jnp.int32)
+
+    beta_m, gamma_m, alpha_m = const(beta), const(gamma), const(alpha)
+    bk1, bk2 = const(beta * k1 % q), const(beta * k2 % q)
+    alpha2_m = const(alpha * alpha % q)
+    A, B, C = ev["a"], ev["b"], ev["c"]
+
+    gate = F.mont_mul(ev["ql"], A)
+    gate = F.add(gate, F.mont_mul(ev["qr"], B))
+    gate = F.add(gate, F.mont_mul(F.mont_mul(ev["qm"], A), B))
+    gate = F.add(gate, F.mont_mul(ev["qo"], C))
+    gate = F.add(gate, ev["qk"])
+
+    lhs = F.add(F.add(A, F.mont_mul(beta_m, xs)), gamma_m)
+    lhs = F.mont_mul(lhs, F.add(F.add(B, F.mont_mul(bk1, xs)), gamma_m))
+    lhs = F.mont_mul(lhs, F.add(F.add(C, F.mont_mul(bk2, xs)), gamma_m))
+    lhs = F.mont_mul(lhs, ev["z"])
+    rhs = F.add(F.add(A, F.mont_mul(beta_m, ev["s1"])), gamma_m)
+    rhs = F.mont_mul(rhs, F.add(F.add(B, F.mont_mul(beta_m, ev["s2"])), gamma_m))
+    rhs = F.mont_mul(rhs, F.add(F.add(C, F.mont_mul(beta_m, ev["s3"])), gamma_m))
+    rhs = F.mont_mul(rhs, ev["zw"])
+    perm = F.sub(lhs, rhs)
+
+    one = F.ones_mont((4 * n,)).astype(jnp.int32)
+    start = F.mont_mul(l1, F.sub(ev["z"], one))
+
+    num = F.add(gate, F.add(F.mont_mul(alpha_m, perm),
+                            F.mont_mul(alpha2_m, start)))
+    t_evals = F.mont_mul(num, zh_inv)
+    return dom4.coset_intt_nat(t_evals)
+
+
 def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
           curve, rng=None) -> Proof:
     q = curve.fr.modulus
@@ -77,10 +159,11 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     def evals_to_coeffs(evals):
         return F.decode(np.asarray(dom.intt(ctx.fr_mont(evals))))
 
-    def coset4_evals(coeffs):
+    def coset4_evals_dev(coeffs):
+        """host coeffs -> DEVICE Montgomery evals on the 4n coset."""
         padded = list(coeffs) + [0] * (4 * n - len(coeffs))
         assert len(padded) == 4 * n, "degree exceeds 4n"
-        return F.decode(np.asarray(dom4.coset_ntt_nat(ctx.fr_mont(padded))))
+        return dom4.coset_ntt_nat(ctx.fr_mont(padded))
 
     # ---- stage 1: solve + wire polynomials --------------------------------
     wires, av, bv, cv = solve_scs(cs, public_values, secret_values)
@@ -142,63 +225,36 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
 
     zw_coeffs = [c * pow(omega, i, q) % q for i, c in enumerate(z_coeffs)]
 
+    # all columns as DEVICE Montgomery evals on the 4n coset
     ev = {
-        "a": coset4_evals(a_coeffs),
-        "b": coset4_evals(b_coeffs),
-        "c": coset4_evals(c_coeffs),
-        "z": coset4_evals(z_coeffs),
-        "zw": coset4_evals(zw_coeffs),
-        "qk": coset4_evals(qk_full_coeffs),
+        "a": coset4_evals_dev(a_coeffs),
+        "b": coset4_evals_dev(b_coeffs),
+        "c": coset4_evals_dev(c_coeffs),
+        "z": coset4_evals_dev(z_coeffs),
+        "zw": coset4_evals_dev(zw_coeffs),
+        "qk": coset4_evals_dev(qk_full_coeffs),
     }
     for name in ("ql", "qr", "qm", "qo", "s1", "s2", "s3"):
-        ev[name] = coset4_evals(pk.trace_coeffs[name])
+        ev[name] = coset4_evals_dev(pk.trace_coeffs[name])
 
-    # coset point x_i = g·η^i; Z_H(x) = gⁿ·η^(n·i) − 1 cycles with period 4
-    g = curve.fr.multiplicative_generator
-    eta = curve.fr.root_of_unity(log_n + 2)
-    gn = pow(g, n, q)
-    etan = pow(eta, n, q)
-    zh_cycle = [(gn * pow(etan, t, q) - 1) % q for t in range(4)]
-    zh_inv_cycle = [pow(v, -1, q) for v in zh_cycle]
-    # L1(x) = (xⁿ−1)·/(n(x−1)) on the coset
-    xs = [g * pow(eta, i, q) % q for i in range(4 * n)]
-    denoms = [(n * (x - 1)) % q for x in xs]
-    den_inv = curve.fr.batch_inv(denoms)
-    l1 = [zh_cycle[i % 4] * den_inv[i] % q for i in range(4 * n)]
-
-    x_pows = xs  # x values double as the id-permutation values
-    t_evals = [0] * (4 * n)
-    for i in range(4 * n):
-        A, B, C = ev["a"][i], ev["b"][i], ev["c"][i]
-        gate = (
-            ev["ql"][i] * A + ev["qr"][i] * B + ev["qm"][i] * A * B
-            + ev["qo"][i] * C + ev["qk"][i]
-        ) % q
-        x = x_pows[i]
-        lhs = (A + beta * x + gamma) % q
-        lhs = lhs * ((B + beta * k1 % q * x + gamma) % q) % q
-        lhs = lhs * ((C + beta * k2 % q * x + gamma) % q) % q
-        lhs = lhs * ev["z"][i] % q
-        rhs = (A + beta * ev["s1"][i] + gamma) % q
-        rhs = rhs * ((B + beta * ev["s2"][i] + gamma) % q) % q
-        rhs = rhs * ((C + beta * ev["s3"][i] + gamma) % q) % q
-        rhs = rhs * ev["zw"][i] % q
-        perm = (lhs - rhs) % q
-        start = l1[i] * (ev["z"][i] - 1) % q
-        t_evals[i] = (
-            (gate + alpha * perm + alpha * alpha % q * start)
-            * zh_inv_cycle[i % 4]
-        ) % q
-
-    t_coeffs = F.decode(np.asarray(dom4.coset_intt_nat(ctx.fr_mont(t_evals))))
-    # T has degree ≤ 3n+5; strip the zero tail and split into 3 shards of n+2
+    t_mont = _quotient_device(
+        ctx, dom4, ev, n, beta, gamma, alpha, k1, k2,
+        curve.fr.multiplicative_generator,
+        curve.fr.root_of_unity(log_n + 2), q,
+    )
+    t_coeffs = F.decode(np.asarray(t_mont))
+    # T has degree ≤ 3n+5; split into 3 shards of n+2
     shard = n + 2
     t1 = t_coeffs[:shard]
     t2 = t_coeffs[shard : 2 * shard]
     t3 = t_coeffs[2 * shard : 3 * shard]
     for c in t_coeffs[3 * shard :]:
         assert c == 0, "quotient degree overflow — identity violated"
-    t_coms = (kzg.commit(t1), kzg.commit(t2), kzg.commit(t3))
+    t_coms = (
+        kzg.commit_mont(t_mont[:shard]),
+        kzg.commit_mont(t_mont[shard : 2 * shard]),
+        kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
+    )
     for cm in t_coms:
         ts.absorb_point(curve, cm)
     zeta = ts.challenge(b"zeta")

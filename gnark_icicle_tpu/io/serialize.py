@@ -258,6 +258,14 @@ def vk_from_bytes(curve, data: bytes):
         pt, n = g1_from_bytes(curve, data, off)
         g1_k.append(pt)
         off += n
+    # trailing: PublicAndCommitmentCommitted ([][]uint64) + nb commitment keys
+    (pacc_len,) = struct.unpack_from(">I", data, off); off += 4
+    for _ in range(pacc_len):
+        (inner,) = struct.unpack_from(">I", data, off); off += 4
+        off += 8 * inner
+    (nb_ck,) = struct.unpack_from(">I", data, off); off += 4
+    if nb_ck:
+        raise NotImplementedError("BSB22 commitment keys not supported yet")
     vk = VerifyingKey(
         g1_alpha=g1_alpha, g2_beta=g2_beta, g2_gamma=g2_gamma,
         g2_delta=g2_delta, g1_k=g1_k, nb_public=k_len,

@@ -115,12 +115,23 @@ class SparseUnsatisfiedError(Exception):
     pass
 
 
-def solve_scs(cs: SparseR1CS, public_values, secret_values):
+def solve_scs(cs: SparseR1CS, public_values, secret_values,
+              native: str | bool = "auto"):
     """Wire assignment + per-gate (a, b, c) wire-value vectors.
 
     ≙ the generated SCS solver (constraint/bn254/solver.go instantiated for
-    SparseR1CS): instruction-ordered, one unknown per gate.
+    SparseR1CS): instruction-ordered, one unknown per gate. native=True
+    routes through the C++ core — opt-in rather than auto because the PLONK
+    prover consumes host ints for the permutation product, so the
+    Montgomery→int conversion eats the native win (the R1CS path avoids
+    this via lazy limb-array views, see constraint.solver.SolveResult).
     """
+    if native is True:
+        from ..native import solve_scs_native
+
+        res = solve_scs_native(cs, public_values, secret_values)
+        if res is not None:
+            return res
     from .hints import get_hint, hint_name
 
     q = cs.q

@@ -123,6 +123,138 @@ class NativeField:
         return x * self.Rinv % self.q
 
 
+def solve_scs_native(cs, public_values, secret_values):
+    """Native-core SCS solve; same contract as constraint.scs.solve_scs.
+
+    Returns None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or cs.q >= (1 << 256):
+        return None
+    if not hasattr(lib, "scs_solve_run"):
+        return None
+    if getattr(lib.scs_solve_run, "argtypes", None) is None:
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_longlong)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.scs_solve_run.restype = ctypes.c_longlong
+        lib.scs_solve_run.argtypes = [
+            u64p, ctypes.c_uint64,
+            u32p, u32p, u32p,
+            u64p, u64p, u64p, u64p, u64p,
+            i64p, i64p, ctypes.c_longlong,
+            u64p, u8p, u64p, ctypes.c_longlong, u64p,
+        ]
+    from .constraint.scs import INSTR_GATE, INSTR_HINT, SparseUnsatisfiedError
+    from .constraint.hints import get_hint, hint_name
+
+    q = cs.q
+    nf = NativeField(q)
+    if (len(public_values) != cs.nb_public
+            or len(secret_values) != cs.nb_secret):
+        raise ValueError("bad input lengths")
+    nw = max(cs.nb_wires, 1)
+    ng = cs.nb_gates
+    wires = np.zeros((nw, 4), dtype=np.uint64)
+    assigned = np.zeros(nw, dtype=np.uint8)
+    init_vals = [int(v) for v in public_values] + [int(v) for v in secret_values]
+    if init_vals:
+        wires[: len(init_vals)] = ints_to_u64x4(nf.to_mont_ints(init_vals))
+        assigned[: len(init_vals)] = 1
+
+    xa = np.asarray(cs.xa, dtype=np.uint32)
+    xb = np.asarray(cs.xb, dtype=np.uint32)
+    xc = np.asarray(cs.xc, dtype=np.uint32)
+    qc_eff = list(cs.qc)
+    for j, pv in enumerate(public_values):  # runtime Qk (public gates first)
+        qc_eff[j] = (qc_eff[j] + int(pv)) % q
+    cols = {}
+    for name, col in (("ql", cs.ql), ("qr", cs.qr), ("qm", cs.qm),
+                      ("qo", cs.qo), ("qc", qc_eff)):
+        cols[name] = ints_to_u64x4(nf.to_mont_ints(col))
+    solved = np.asarray(cs.solved_wire, dtype=np.int64)
+    abc = np.zeros((3, max(ng, 1), 4), dtype=np.uint64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    def run(order):
+        order = np.asarray(order, dtype=np.int64)
+        rc = lib.scs_solve_run(
+            ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
+            ptr(xa, ctypes.c_uint32), ptr(xb, ctypes.c_uint32),
+            ptr(xc, ctypes.c_uint32),
+            ptr(cols["ql"], ctypes.c_uint64), ptr(cols["qr"], ctypes.c_uint64),
+            ptr(cols["qm"], ctypes.c_uint64), ptr(cols["qo"], ctypes.c_uint64),
+            ptr(cols["qc"], ctypes.c_uint64),
+            ptr(solved, ctypes.c_longlong),
+            ptr(order, ctypes.c_longlong), len(order),
+            ptr(wires, ctypes.c_uint64), ptr(assigned, ctypes.c_uint8),
+            ptr(abc, ctypes.c_uint64), ng,
+            ptr(nf.one_mont, ctypes.c_uint64),
+        )
+        if rc >= 0:
+            raise SparseUnsatisfiedError(f"gate {int(rc)} unsatisfied (native)")
+
+    def wire_val(w: int) -> int:
+        row = wires[w]
+        x = (int(row[0]) | (int(row[1]) << 64) | (int(row[2]) << 128)
+             | (int(row[3]) << 192))
+        return nf.from_mont_int(x)
+
+    pending: list = []
+    for kind, idx in cs.instructions:
+        if kind == INSTR_GATE:
+            pending.append(idx)
+            continue
+        if pending:
+            run(pending)
+            pending = []
+        h = cs.hints[idx]
+        ins = []
+        for expr in h.inputs:
+            s = 0
+            for coeff, wid in expr:
+                if not assigned[wid]:
+                    raise SparseUnsatisfiedError(
+                        f"hint input wire {wid} unsolved"
+                    )
+                s += coeff * wire_val(wid)
+            ins.append(s % q)
+        ins.extend(h.static_args)
+        outs = get_hint(h.hint_id)(q, ins)
+        if len(outs) != len(h.outputs):
+            raise SparseUnsatisfiedError(
+                f"hint {hint_name(h.hint_id)} arity mismatch"
+            )
+        mont = ints_to_u64x4(nf.to_mont_ints(outs))
+        for wid, row in zip(h.outputs, mont):
+            wires[wid] = row
+            assigned[wid] = 1
+    if pending:
+        run(pending)
+
+    wires[assigned == 0] = 0
+    lib.from_mont_batch(
+        ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
+        ptr(wires, ctypes.c_uint64), nw,
+    )
+    abc_flat = np.ascontiguousarray(abc[:, :ng].reshape(-1, 4))
+    if ng:
+        lib.from_mont_batch(
+            ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
+            ptr(abc_flat, ctypes.c_uint64), 3 * ng,
+        )
+    abc_plain = abc_flat.reshape(3, max(ng, 1), 4)[:, :ng]
+    return (
+        u64x4_to_ints(wires),
+        u64x4_to_ints(abc_plain[0]),
+        u64x4_to_ints(abc_plain[1]),
+        u64x4_to_ints(abc_plain[2]),
+    )
+
+
 def solve_native(cs, public_values, secret_values):
     """Native-core solve; same contract as constraint.solver.solve.
 

@@ -250,6 +250,111 @@ long long r1cs_solve_run(
   return -1;
 }
 
+// Solve a contiguous run of SparseR1CS gates:
+//   qL·a + qR·b + qM·a·b + qO·c + qC = 0
+// Columns are (n_gates, 4) Montgomery arrays; qc_extra adds the runtime Qk
+// public-input column. Returns -1 on success, else the failing gate.
+long long scs_solve_run(
+    const u64* p_limbs, u64 inv,
+    const uint32_t* xa, const uint32_t* xb, const uint32_t* xc,
+    const u64* ql, const u64* qr, const u64* qm, const u64* qo,
+    const u64* qc,
+    const long long* solved_wire,
+    const long long* order, long long n_run,
+    u64* wires, uint8_t* assigned,
+    u64* abc, long long n_gates, const u64* one_mont) {
+  Field f;
+  std::memcpy(f.p, p_limbs, 32);
+  f.inv = inv;
+
+  for (long long r = 0; r < n_run; ++r) {
+    long long j = order[r];
+    uint32_t wa = xa[j], wb = xb[j], wc = xc[j];
+    long long sw = solved_wire[j];
+    bool in_a = (long long)wa == sw, in_b = (long long)wb == sw,
+         in_c = (long long)wc == sw;
+    bool unknown = sw >= 0 && !assigned[sw];
+
+    if (unknown) {
+      if ((!in_a && !assigned[wa]) || (!in_b && !assigned[wb]) ||
+          (!in_c && !assigned[wc]))
+        return j;
+      u64 coef[4] = {0, 0, 0, 0};
+      u64 cons[4];
+      std::memcpy(cons, qc + 4 * j, 32);
+      if (in_a) fadd(f, coef, ql + 4 * j, coef);
+      else {
+        u64 t[4];
+        fmul(f, ql + 4 * j, wires + 4 * wa, t);
+        fadd(f, cons, t, cons);
+      }
+      if (in_b) fadd(f, coef, qr + 4 * j, coef);
+      else {
+        u64 t[4];
+        fmul(f, qr + 4 * j, wires + 4 * wb, t);
+        fadd(f, cons, t, cons);
+      }
+      if (in_c) fadd(f, coef, qo + 4 * j, coef);
+      else {
+        u64 t[4];
+        fmul(f, qo + 4 * j, wires + 4 * wc, t);
+        fadd(f, cons, t, cons);
+      }
+      if (!is_zero(qm + 4 * j)) {
+        if (in_a && in_b) return j;  // quadratic in the unknown
+        u64 t[4];
+        if (in_a) {
+          fmul(f, qm + 4 * j, wires + 4 * wb, t);
+          fadd(f, coef, t, coef);
+        } else if (in_b) {
+          fmul(f, qm + 4 * j, wires + 4 * wa, t);
+          fadd(f, coef, t, coef);
+        } else {
+          fmul(f, qm + 4 * j, wires + 4 * wa, t);
+          fmul(f, t, wires + 4 * wb, t);
+          fadd(f, cons, t, cons);
+        }
+      }
+      if (is_zero(coef)) return j;
+      u64 x[4], zero[4] = {0, 0, 0, 0};
+      u64 neg_one[4];
+      fsub(f, zero, one_mont, neg_one);
+      if (std::memcmp(coef, neg_one, 32) == 0) {
+        // coef == -1 (the builder's qO on nearly every gate): x = const
+        std::memcpy(x, cons, 32);
+      } else if (std::memcmp(coef, one_mont, 32) == 0) {
+        fsub(f, zero, cons, x);
+      } else {
+        u64 ci[4];
+        fsub(f, zero, cons, cons);
+        finv(f, coef, one_mont, ci);
+        fmul(f, cons, ci, x);
+      }
+      std::memcpy(wires + 4 * sw, x, 32);
+      assigned[sw] = 1;
+    }
+
+    if (!assigned[wa] || !assigned[wb] || !assigned[wc]) return j;
+    const u64 *va = wires + 4 * wa, *vb = wires + 4 * wb,
+              *vc = wires + 4 * wc;
+    u64 acc[4], t[4];
+    fmul(f, ql + 4 * j, va, acc);
+    fmul(f, qr + 4 * j, vb, t);
+    fadd(f, acc, t, acc);
+    fmul(f, qm + 4 * j, va, t);
+    fmul(f, t, vb, t);
+    fadd(f, acc, t, acc);
+    fmul(f, qo + 4 * j, vc, t);
+    fadd(f, acc, t, acc);
+    fadd(f, acc, qc + 4 * j, acc);
+    if (!is_zero(acc)) return j;
+    std::memcpy(abc + 4 * j, va, 32);
+    std::memcpy(abc + 4 * (n_gates + j), vb, 32);
+    std::memcpy(abc + 4 * (2 * n_gates + j), vc, 32);
+  }
+  return -1;
+}
+
 // Montgomery batch conversion helpers (R^2 supplied by the caller).
 void to_mont_batch(const u64* p_limbs, u64 inv, const u64* r2,
                    u64* vals, long long n) {

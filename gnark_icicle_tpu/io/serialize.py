@@ -274,8 +274,35 @@ def vk_from_bytes(curve, data: bytes):
 
 
 # ---------------------------------------------------------------------------
-# witness  (backend/witness/witness.go binary protocol)
+# witness  (backend/witness/witness.go binary protocol + JSON form)
 # ---------------------------------------------------------------------------
+
+def witness_to_json(cs, public_values, secret_values=None) -> str:
+    """Named JSON witness (≙ witness.ToJSON via the schema; names come from
+    the compiled system's public/secret name lists)."""
+    import json
+
+    names_pub = cs.public_names[1:] if cs.public_names[:1] == ["one"] \
+        else cs.public_names
+    out = {
+        "public": {n: str(v) for n, v in zip(names_pub, public_values)},
+    }
+    if secret_values is not None:
+        out["secret"] = {
+            n: str(v) for n, v in zip(cs.secret_names, secret_values)
+        }
+    return json.dumps(out, indent=2)
+
+
+def witness_from_json(text: str):
+    """-> (public_values, secret_values) in declaration order."""
+    import json
+
+    obj = json.loads(text)
+    pub = [int(v) for v in obj.get("public", {}).values()]
+    sec = [int(v) for v in obj.get("secret", {}).values()]
+    return pub, sec
+
 
 def witness_to_bytes(curve, public_values, secret_values=None) -> bytes:
     """uint32 nbPublic | uint32 nbSecret | uint32 len | elements (32B BE).

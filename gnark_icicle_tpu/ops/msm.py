@@ -218,25 +218,77 @@ class MSMKernel:
         ).astype(jnp.int32)
         counts = ends - starts  # (W, B); trash bucket excluded by construction
 
+        # ---- staged waves over count-sorted lanes -------------------------
+        # Bucket run lengths are Poisson-skewed (max ≈ 2× mean); running
+        # every lane until the global max wastes ~45% of the adds on idle
+        # lanes. Sort the (window, bucket) lanes by run length descending and
+        # shrink the active width geometrically: each stage processes a
+        # prefix until every lane OUTSIDE the next prefix is done, so total
+        # work tracks the area under the sorted-count curve (≈ N adds).
+        L = W * B
+        counts_f = counts.reshape(L)
+        starts_f = starts.reshape(L)
+        lane_order = jnp.argsort(-counts_f)
+        inv_order = jnp.argsort(lane_order)
+        counts_p = counts_f[lane_order]
+        starts_p = starts_f[lane_order]
+        win_of_lane = (jnp.arange(L, dtype=jnp.int32) // B)[lane_order]
+        order_flat = order.reshape(-1)  # (W·N,)
+        sign_flat = sorted_sign.reshape(-1)
+
         x_proto = jax.tree.map(
-            lambda a: jnp.zeros((W, B) + a.shape[1:], a.dtype), points[0]
+            lambda a: jnp.zeros((L,) + a.shape[1:], a.dtype), points[0]
         )
-        acc0 = curve.identity_like(x_proto)
-        t_max = jnp.max(counts)
+        acc = curve.identity_like(x_proto)
 
-        def wave(state):
-            t, acc = state
-            idx_sorted = jnp.clip(starts + t, 0, n - 1)  # (W, B)
-            valid = t < counts
-            pt_idx = jnp.take_along_axis(order, idx_sorted, axis=1)
-            gp = jax.tree.map(lambda a: a[pt_idx], points)  # leaves (W, B, K)
-            s = jnp.take_along_axis(sorted_sign, idx_sorted, axis=1)
-            gy = curve.f.select(s, curve.f.neg(gp[1]), gp[1])
-            new = curve.add_mixed(acc, (gp[0], gy))
-            return t + 1, curve.select(valid, new, acc)
+        stage_sizes = []
+        s = L
+        while s >= 1024 and len(stage_sizes) < 4:
+            stage_sizes.append(s)
+            s //= 4
+        if not stage_sizes:
+            stage_sizes = [L]
 
-        _, buckets = jax.lax.while_loop(
-            lambda st: st[0] < t_max, wave, (jnp.int32(0), acc0)
+        def make_wave(S, acc_slice_meta):
+            starts_s, counts_s, win_s = acc_slice_meta
+
+            def wave(state):
+                t, acc_s = state
+                idx_sorted = jnp.clip(starts_s + t, 0, n - 1)  # (S,)
+                valid = t < counts_s
+                flat_idx = win_s * n + idx_sorted
+                pt_idx = order_flat[flat_idx]
+                gp = jax.tree.map(lambda a: a[pt_idx], points)  # (S, K)
+                sg = sign_flat[flat_idx]
+                gy = curve.f.select(sg, curve.f.neg(gp[1]), gp[1])
+                new = curve.add_mixed(acc_s, (gp[0], gy))
+                return t + 1, curve.select(valid, new, acc_s)
+
+            return wave
+
+        t = jnp.int32(0)
+        for si, S in enumerate(stage_sizes):
+            meta = (starts_p[:S], counts_p[:S], win_of_lane[:S])
+            wave = make_wave(S, meta)
+            # run until every lane outside the NEXT stage prefix is done
+            # (final stage: until the global max)
+            if si + 1 < len(stage_sizes):
+                t_stop = counts_p[stage_sizes[si + 1]]
+            else:
+                t_stop = counts_p[0]
+            acc_s = jax.tree.map(lambda a: a[:S], acc)
+            t, acc_s = jax.lax.while_loop(
+                lambda st: st[0] < t_stop, wave, (t, acc_s)
+            )
+            acc = jax.tree.map(
+                lambda full, part: jax.lax.dynamic_update_slice(
+                    full, part, (0,) * full.ndim
+                ),
+                acc, acc_s,
+            )
+
+        buckets = jax.tree.map(
+            lambda a: a[inv_order].reshape((W, B) + a.shape[1:]), acc
         )  # leaves (W, B, K)
 
         per_window = self._bucket_reduce(buckets, B)  # leaves (W, K)

@@ -8,6 +8,7 @@ import random
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 if jax.default_backend() == "cpu":
     pytest.skip(
@@ -70,8 +71,6 @@ def test_pallas_double_matches(kern_g1):
 def test_pallas_add_mixed_identity_and_doubling(kern_g1):
     """Completeness cases: P + P (doubling through add_mixed) and
     identity + Q."""
-    import jax.numpy as jnp
-
     P, Q = _g1_batch(4, 6)
     same = kern_g1.add_mixed(P, Q)  # P == Q affine: doubling case
     _assert_tree_equal(same, G1.add_mixed(P, Q))
@@ -89,9 +88,6 @@ def test_pallas_g2_add_mixed_matches():
     kern = PallasEC(FP, (G2_B3.c0, G2_B3.c1), fp2=True, interpret=True)
     rng = random.Random(7)
     pts = [bn254.G2.random_point(rng) for _ in range(6)]
-    import jax.numpy as jnp
-    import jax
-
     f2 = G2.f
     x = jax.tree.map(jnp.asarray, f2.encode([p[0] for p in pts]))
     y = jax.tree.map(jnp.asarray, f2.encode([p[1] for p in pts]))

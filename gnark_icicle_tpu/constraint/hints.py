@@ -69,5 +69,14 @@ def to_bits_hint(q: int, inputs: list) -> list:
     return [(x >> i) & 1 for i in range(n)]
 
 
+def div_unchecked_hint(q: int, inputs: list) -> list:
+    """(a, b) -> a/b with 0/0 = 0 (≙ the DivUnchecked solver hint)."""
+    a, b = inputs[0] % q, inputs[1] % q
+    if b == 0:
+        return [0]  # the out·b == a check constraint rejects a != 0
+    return [a * pow(b, -1, q) % q]
+
+
 INV_OR_ZERO = register_hint(inv_or_zero_hint, "core.inv_or_zero")
 TO_BITS = register_hint(to_bits_hint, "core.to_bits")
+DIV_UNCHECKED = register_hint(div_unchecked_hint, "core.div_unchecked")

@@ -129,18 +129,19 @@ class Builder:
         return out
 
     def div_unchecked(self, a, b):
-        """a/b with 0/0 = 0 (≙ api.DivUnchecked)."""
+        """a/b with 0/0 = 0 (≙ api.DivUnchecked: hint value + out·b == a)."""
         va, vb = self._to_var(a), self._to_var(b)
         ca, cb = self.constant_value(va), self.constant_value(vb)
         if cb is not None:
             if cb == 0:
+                if ca == 0:
+                    return Var({0: 0})
                 raise ZeroDivisionError("division by constant zero")
             return self._scale(va, pow(cb, -1, self.q))
-        wid, out = self._new_wire_var()
-        # out·b = a, solve for out
+        (out,) = self.new_hint(hintlib.DIV_UNCHECKED, 1, va, vb)
+        # check constraint: out·b == a (accepts 0/0 = 0, rejects a/0)
         self.cs.add_r1c(
-            self._terms_list(out), self._terms_list(vb), self._terms_list(va),
-            solved_wire=wid,
+            self._terms_list(out), self._terms_list(vb), self._terms_list(va)
         )
         return out
 

@@ -122,21 +122,24 @@ class ScsBuilder:
         return acc
 
     def div_unchecked(self, a, b):
+        """a/b with 0/0 = 0 (hint value + check gate, ≙ api.DivUnchecked)."""
         ca, cb = self.constant_value(a), self.constant_value(b)
         if cb is not None:
             if cb == 0:
+                if ca == 0:
+                    return 0
                 raise ZeroDivisionError("division by constant zero")
             return self._mul2(a, pow(cb, -1, self.q))
-        o = self._new_wire()
-        if ca is not None:
-            # o·b = a: qm(b,o) + qc(−a) = 0 — solve o needs b≠0
-            self.cs.add_gate(b.wire, o, o, ql=0, qr=0, qm=b.coeff, qo=0,
-                             qc=-ca, solved_wire=o)
-            return SVar(1, o)
-        # qm·(b·o) − a = 0
-        self.cs.add_gate(b.wire, o, a.wire, ql=0, qr=0, qm=b.coeff,
-                         qo=-a.coeff % self.q, qc=0, solved_wire=o)
-        return SVar(1, o)
+        a_in = a if isinstance(a, SVar) else None
+        (out,) = self.new_hint(hintlib.DIV_UNCHECKED, 1, a, b)
+        # check gate: qm·(b·out) − a = 0 (no solved wire)
+        if a_in is None:
+            self.cs.add_gate(b.wire, out.wire, out.wire, ql=0, qr=0,
+                             qm=b.coeff, qo=0, qc=-ca)
+        else:
+            self.cs.add_gate(b.wire, out.wire, a_in.wire, ql=0, qr=0,
+                             qm=b.coeff, qo=-a_in.coeff % self.q, qc=0)
+        return out
 
     def div(self, a, b):
         return self.mul(a, self.inverse(b))

@@ -142,6 +142,72 @@ class CmpCircuit(Circuit):
         api.assert_is_equal(api.cmp(self.a, self.b, 16), self.want)
 
 
+class DivUnchecked(Circuit):
+    a = Secret()
+    b = Secret()
+    out = Public()
+
+    def define(self, api):
+        api.assert_is_equal(api.div_unchecked(self.a, self.b), self.out)
+
+
+class AndOr(Circuit):
+    a = Secret()
+    b = Secret()
+    and_out = Public()
+    or_out = Public()
+
+    def define(self, api):
+        api.assert_is_equal(api.and_(self.a, self.b), self.and_out)
+        api.assert_is_equal(api.or_(self.a, self.b), self.or_out)
+
+
+class FromBinary(Circuit):
+    bits = Secret(shape=5)
+    val = Public()
+
+    def define(self, api):
+        for b in self.bits:
+            api.assert_is_boolean(b)
+        api.assert_is_equal(api.from_binary(self.bits), self.val)
+
+
+class MulAcc(Circuit):
+    """Chained multiply-accumulate (≙ circuits/expo-style chains)."""
+
+    x = Secret()
+    y = Secret()
+    res = Public()
+
+    def define(self, api):
+        acc = 0
+        for i in range(5):
+            acc = api.add(api.mul(acc, self.x), self.y, i)
+        api.assert_is_equal(acc, self.res)
+
+
+class AssertBool(Circuit):
+    b = Secret()
+
+    def define(self, api):
+        api.assert_is_boolean(self.b)
+
+
+class NegChain(Circuit):
+    a = Secret()
+    out = Public()
+
+    def define(self, api):
+        api.assert_is_equal(api.neg(api.neg(api.neg(self.a))), self.out)
+
+
+def _mulacc_expected(q, x, y):
+    acc = 0
+    for i in range(5):
+        acc = (acc * x + y + i) % q
+    return acc
+
+
 def corpus(q: int):
     """[(name, circuit_cls, [valid assignments], [invalid assignments])]."""
     return [
@@ -170,6 +236,23 @@ def corpus(q: int):
         ("hint", HintCircuit, [dict(a=6, b=42)], [dict(a=6, b=43)]),
         ("neg", Neg, [dict(a=5, b=q - 5)], [dict(a=5, b=5)]),
         ("different", AssertDifferent, [dict(a=1, b=2)], [dict(a=2, b=2)]),
+        ("div_unchecked", DivUnchecked,
+         [dict(a=6, b=3, out=2), dict(a=0, b=0, out=0)],
+         [dict(a=6, b=3, out=3), dict(a=5, b=0, out=0)]),
+        ("andor", AndOr,
+         [dict(a=1, b=0, and_out=0, or_out=1),
+          dict(a=1, b=1, and_out=1, or_out=1)],
+         [dict(a=1, b=0, and_out=1, or_out=1),
+          dict(a=2, b=0, and_out=0, or_out=1)]),
+        ("from_binary", FromBinary,
+         [dict(bits=[1, 0, 1, 0, 1], val=21)],
+         [dict(bits=[1, 0, 1, 0, 1], val=20),
+          dict(bits=[2, 0, 0, 0, 0], val=2)]),
+        ("mulacc", MulAcc,
+         [dict(x=3, y=7, res=_mulacc_expected(q, 3, 7))],
+         [dict(x=3, y=7, res=0)]),
+        ("bool", AssertBool, [dict(b=0), dict(b=1)], [dict(b=2)]),
+        ("negchain", NegChain, [dict(a=5, out=q - 5)], [dict(a=5, out=5)]),
         ("cmp", CmpCircuit,
          [dict(a=5, b=3, want=1), dict(a=3, b=5, want=q - 1),
           dict(a=4, b=4, want=0)],

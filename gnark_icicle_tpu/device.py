@@ -62,10 +62,12 @@ class DeviceCtx:
             self.g1_dev.pallas = PallasEC(
                 self.fp_dev, g1_b3, fp2=False, interpret=interpret
             )
-            # The Fp2 (G2) kernel is bit-exact in interpret mode but hits a
-            # Mosaic compiler CHECK (array.h limits 4 vs 1) on the v5e
-            # backend at any batch size — G2 stays on the XLA-fused jnp path
-            # until that is root-caused (G2 is 1 of the prover's 4 MSMs).
+            # The Fp2 (G2) kernel now compiles on v5e (the Mosaic CHECK was
+            # triggered by sub-tile (1, K) bias blocks — fixed by replicating
+            # b3 to a full block) and is bit-exact, but the packed-tile
+            # sublane slicing makes it ~2x SLOWER than the XLA-fused jnp
+            # path — so G2 stays on jnp until the layout is reworked
+            # (ROADMAP.md). Opt in for experiments:
             if os.environ.get("GNARK_TPU_PALLAS_G2", "0") == "1":
                 self.g2_dev.pallas = PallasEC(
                     self.fp_dev, (g2_b3.c0, g2_b3.c1), fp2=True,

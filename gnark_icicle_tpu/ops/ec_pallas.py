@@ -282,37 +282,41 @@ class PallasEC:
                 np.int32,
             )
 
-    # coordinate <-> flat-leaf plumbing: G1 coord = one leaf; G2 = two
+    # coordinate <-> flat-leaf plumbing. G2 (Fp2) coordinates are PACKED
+    # into single (N, 2K) leaves [c0 ‖ c1] so the kernel's input/output
+    # count matches the G1 shape — large pallas_call arities trip a Mosaic
+    # CHECK on v5e (see device.py / ROADMAP.md).
     def _leaves_per_coord(self):
-        return 2 if self.fp2 else 1
+        return 1
 
     def _b3_leaves(self):
-        """b3 as (1, K) arrays passed as kernel inputs (constants cannot be
-        captured by pallas kernel bodies)."""
+        """b3 replicated to a full (BLOCK, K|2K) kernel input — constants
+        cannot be captured by kernel bodies, and sub-tile (1, ·) blocks have
+        tripped Mosaic CHECKs on v5e."""
         if self.fp2:
-            return [
-                jnp.asarray(self.b3_tiles[0])[None, :],
-                jnp.asarray(self.b3_tiles[1])[None, :],
-            ]
-        return [jnp.asarray(self.b3_tiles)[None, :]]
+            row = jnp.concatenate([
+                jnp.asarray(self.b3_tiles[0]), jnp.asarray(self.b3_tiles[1])
+            ])
+        else:
+            row = jnp.asarray(self.b3_tiles)
+        return [jnp.broadcast_to(row, (BLOCK, row.shape[0])).astype(I32)]
 
     def _coords_from_blocks(self, blocks, n_coords):
-        """kernel refs -> list of coords (tiles or tile pairs)."""
-        lpc = self._leaves_per_coord()
+        """kernel refs -> list of coords (tiles or packed tile pairs)."""
+        K = self.K
         out = []
         for c in range(n_coords):
+            tile = _t(blocks[c][:])  # (K or 2K, B)
             if self.fp2:
-                out.append((_t(blocks[lpc * c][:]), _t(blocks[lpc * c + 1][:])))
+                out.append((tile[:K], tile[K:]))
             else:
-                out.append(_t(blocks[c][:]))
+                out.append(tile)
         return out
 
     def _write_coords(self, out_refs, coords):
-        lpc = self._leaves_per_coord()
         for c, coord in enumerate(coords):
             if self.fp2:
-                out_refs[lpc * c][:] = _tt(coord[0])
-                out_refs[lpc * c + 1][:] = _tt(coord[1])
+                out_refs[c][:] = _tt(jnp.concatenate([coord[0], coord[1]]))
             else:
                 out_refs[c][:] = _tt(coord)
 
@@ -322,24 +326,18 @@ class PallasEC:
         n_out = n_out_coords * lpc
         K = self.K
 
-        lpc_b3 = lpc  # b3 rides as trailing inputs, one leaf per Fp part
+        lpc_b3 = 1  # b3 rides as one trailing (1, K|2K) input
 
         def kernel(*refs):
             ins = refs[:n_in]
-            b3_refs = refs[n_in : n_in + lpc_b3]
+            b3_ref = refs[n_in]
             outs = refs[n_in + lpc_b3 :]
             coords = self._coords_from_blocks(ins, n_in_coords)
-            B = ins[0].shape[0]
-
-            def tile_of(b3_ref):
-                return jnp.broadcast_to(
-                    jnp.transpose(b3_ref[:], (1, 0)), (K, B)
-                ).astype(I32)
-
+            b3_t = _t(b3_ref[:])  # (K|2K, BLOCK), columns identical
             if self.fp2:
-                b3 = (tile_of(b3_refs[0]), tile_of(b3_refs[1]))
+                b3 = (b3_t[:K], b3_t[K:])
             else:
-                b3 = tile_of(b3_refs[0])
+                b3 = b3_t
             res = tile_fn(self.tf, b3, coords)
             self._write_coords(outs, res)
 
@@ -349,26 +347,29 @@ class PallasEC:
             pad = (-n) % BLOCK
             if pad:
                 leaves = tuple(
-                    jnp.concatenate([x, jnp.zeros((pad, K), x.dtype)])
+                    jnp.concatenate(
+                        [x, jnp.zeros((pad, x.shape[1]), x.dtype)]
+                    )
                     for x in leaves
                 )
             np_ = (n + pad) // BLOCK
+            KW = 2 * K if self.fp2 else K  # packed leaf width
             out = pl.pallas_call(
                 kernel,
                 grid=(np_,),
                 in_specs=[
-                    pl.BlockSpec((BLOCK, K), lambda i: (i, 0),
+                    pl.BlockSpec((BLOCK, KW), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
                 ] * n_in + [
-                    pl.BlockSpec((1, K), lambda i: (0, 0),
+                    pl.BlockSpec((BLOCK, KW), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
                 ] * lpc_b3,
                 out_specs=[
-                    pl.BlockSpec((BLOCK, K), lambda i: (i, 0),
+                    pl.BlockSpec((BLOCK, KW), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
                 ] * n_out,
                 out_shape=[
-                    jax.ShapeDtypeStruct((n + pad, K), jnp.int32)
+                    jax.ShapeDtypeStruct((n + pad, KW), jnp.int32)
                 ] * n_out,
                 interpret=self.interpret,
             )(*leaves, *self._b3_leaves())
@@ -384,26 +385,29 @@ class PallasEC:
         for c in range(n_coords):
             coord = P[c]
             if self.fp2:
-                leaves.extend([coord[0], coord[1]])
+                leaves.append(jnp.concatenate(
+                    [coord[0].reshape(-1, self.K),
+                     coord[1].reshape(-1, self.K)], axis=-1
+                ))
             else:
                 leaves.append(coord)
         return leaves
 
     def _unflatten(self, leaves, n_coords, batch_shape):
         out = []
-        lpc = self._leaves_per_coord()
         for c in range(n_coords):
             if self.fp2:
+                packed = leaves[c]
                 out.append((
-                    leaves[lpc * c].reshape(batch_shape + (self.K,)),
-                    leaves[lpc * c + 1].reshape(batch_shape + (self.K,)),
+                    packed[:, : self.K].reshape(batch_shape + (self.K,)),
+                    packed[:, self.K :].reshape(batch_shape + (self.K,)),
                 ))
             else:
                 out.append(leaves[c].reshape(batch_shape + (self.K,)))
         return tuple(out)
 
     def _flat2d(self, leaves):
-        return [x.reshape(-1, self.K) for x in leaves]
+        return [x.reshape(-1, x.shape[-1]) for x in leaves]
 
     @functools.cached_property
     def _add_mixed_fn(self):

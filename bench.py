@@ -40,6 +40,9 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     n = 1 << log_n
 
+    if os.environ.get("BENCH_METRIC", "msm") == "ntt":
+        return bench_ntt(log_n, iters)
+
     ctx = DeviceCtx(bn254.BN254)
     rng = random.Random(7)
     pt = bn254.G1.random_point(rng)
@@ -87,6 +90,65 @@ def main():
         "metric": f"msm_g1_bn254_2^{log_n}",
         "value": round(n / best, 1),
         "unit": "points/s",
+        "vs_baseline": None,
+    }))
+
+
+def bench_ntt(log_n: int, iters: int):
+    """Secondary metric: BN254-fr forward NTT throughput (BENCH_METRIC=ntt).
+
+    Verified against a host evaluation at one random point (the NTT output
+    at index j is p(ω^j))."""
+    import json as _json
+    import random
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.device import DeviceCtx
+
+    n = 1 << log_n
+    ctx = DeviceCtx(bn254.BN254)
+    dom = ctx.domain(log_n)
+    nprng = np.random.default_rng(11)
+    limbs = nprng.integers(0, 1 << 16, size=(n, ctx.fr_dev.K),
+                           dtype=np.int32)
+    limbs[:, -1] &= 0x3FFF
+    x = ctx.fr_mont(limbs)  # device to-Montgomery
+    res = dom.ntt(x)
+    jax.block_until_ready(res)
+    times = []
+    for _ in range(iters):
+        t0 = _time.perf_counter()
+        res = dom.ntt(x)
+        jax.block_until_ready(res)
+        times.append(_time.perf_counter() - t0)
+    best = min(times)
+
+    # spot-check one output coefficient against host Horner
+    q = bn254.R
+    j = random.Random(5).randrange(n)
+    coeffs = [0] * n
+    got_j = ctx.fr_dev.decode(np.asarray(res[j : j + 1]))[0]
+    vals = [
+        int.from_bytes(
+            np.ascontiguousarray(limbs[i]).astype(np.uint16).tobytes(),
+            "little",
+        ) % q
+        for i in range(n)
+    ]
+    wj = pow(bn254.FR.root_of_unity(log_n), j, q)
+    want = 0
+    for c in reversed(vals):
+        want = (want * wj + c) % q
+    assert got_j == want, "NTT output failed host verification"
+
+    print(_json.dumps({
+        "metric": f"ntt_fr_bn254_2^{log_n}",
+        "value": round(n / best, 1),
+        "unit": "elems/s",
         "vs_baseline": None,
     }))
 

@@ -1,0 +1,182 @@
+"""Montgomery multiplication by constants on the MXU (prototype).
+
+The step-change lever from ROADMAP.md #1: on TPU the systolic array does
+int8×int8→int32 at ~hundreds of Tops while the VPU's 32-bit multiplies are
+~100x slower. A Montgomery product has three wide limb products; when one
+operand is a CONSTANT (NTT twiddles, and always the N'/p REDC factors), the
+product is a matrix multiply by that constant's Toeplitz matrix:
+
+    T[c] = Σ_{i+j=c} x_i·w_j  =  (x @ W_toep)[c],   W_toep[i, c] = w_{c-i}
+
+With 8-bit limbs (K8 = 32 for 256-bit R) the inputs fit int8 exactly and the
+int32 accumulator is exact (≤ 64 terms · 255² < 2²²). All three products of
+mont_mul-by-constant ride the MXU; the carry chains stay on the VPU.
+
+This module is layout-compatible with ops/field.py: inputs/outputs are the
+standard (N, K) 16-bit-limb Montgomery arrays (same R = 2^(16K)); the 8-bit
+split/merge is two cheap bitwise ops. Bit-exactness vs LimbField.mont_mul is
+test-asserted; the batched-matrix variant (`mont_mul_const_batched`) powers
+the NTT twiddle stages where each butterfly row has its own constant.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import LimbField, I32, MASK16, int_to_limbs
+
+MASK8 = 0xFF
+
+
+def _int_to_limbs8(x: int, k8: int) -> np.ndarray:
+    out = np.zeros(k8, dtype=np.int32)
+    for i in range(k8):
+        out[i] = (x >> (8 * i)) & MASK8
+    assert x >> (8 * k8) == 0
+    return out
+
+
+def _toeplitz8(w: int, k8: int) -> np.ndarray:
+    """(K8, 2·K8) int8-valued matrix: T[i, c] = w_limb[c − i]."""
+    limbs = _int_to_limbs8(w, k8)
+    m = np.zeros((k8, 2 * k8), dtype=np.int8)
+    for i in range(k8):
+        m[i, i : i + k8] = limbs.astype(np.int8)  # values ≤ 255 → stored
+    # int8 stores -128..127; reinterpret upper values via uint8 bit pattern
+    return limbs, m
+
+
+def _toeplitz_u8(w: int, k8: int) -> np.ndarray:
+    """(K8, 2·K8) matrix of limb VALUES (0..255) as int32 for exact dots;
+    cast to the MXU-friendly dtype at use site."""
+    limbs = _int_to_limbs8(w, k8)
+    m = np.zeros((k8, 2 * k8), dtype=np.int32)
+    for i in range(k8):
+        m[i, i : i + k8] = limbs
+    return m
+
+
+class MXUConstMul:
+    """mont_mul(x, w) for fixed w, products on the MXU.
+
+    One instance per (field, constant-set). For a single constant use
+    ``mul``; for a table of constants (twiddles) use ``mul_batched`` with
+    x grouped per constant.
+    """
+
+    _cache: dict = {}
+
+    def __new__(cls, F: LimbField):
+        if F.modulus in cls._cache:
+            return cls._cache[F.modulus]
+        self = super().__new__(cls)
+        cls._cache[F.modulus] = self
+        return self
+
+    def __init__(self, F: LimbField):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.F = F
+        self.K = F.K
+        self.K8 = 2 * F.K
+        # REDC constants as Toeplitz matrices (shared by every mul)
+        self.np_toep = jnp.asarray(
+            _toeplitz_u8(F.nprime, self.K8)[:, : self.K8]  # mod R: low cols
+        )
+        self.p_toep = jnp.asarray(_toeplitz_u8(F.modulus, self.K8))
+
+    # -- limb width conversion ------------------------------------------------
+    def split8(self, x16):
+        """(N, K) 16-bit limbs -> (N, 2K) 8-bit limbs."""
+        lo = x16 & MASK8
+        hi = (x16 >> 8) & MASK8
+        return jnp.stack([lo, hi], axis=-1).reshape(*x16.shape[:-1], self.K8)
+
+    def merge16(self, x8):
+        """(N, 2K) 8-bit limbs -> (N, K) 16-bit limbs."""
+        v = x8.reshape(*x8.shape[:-1], self.K, 2)
+        return v[..., 0] + (v[..., 1] << 8)
+
+    # -- carries (VPU; mirrors field.py at 8-bit granularity) ------------------
+    def _carry8(self, cols, out_limbs: int, drop_low: int = 0):
+        xs = jnp.moveaxis(cols, -1, 0)
+
+        def body_drop(carry, c):
+            return (c + carry) >> 8, None
+
+        carry0 = jnp.zeros_like(xs[0])
+        if drop_low:
+            carry0, _ = jax.lax.scan(body_drop, carry0, xs[:drop_low])
+
+        def body(carry, c):
+            v = c + carry
+            return v >> 8, v & MASK8
+
+        _, limbs = jax.lax.scan(body, carry0, xs[drop_low:])
+        limbs = jnp.moveaxis(limbs, 0, -1)
+        pad = out_limbs - limbs.shape[-1]
+        if pad > 0:
+            limbs = jnp.pad(limbs, [(0, 0)] * (limbs.ndim - 1) + [(0, pad)])
+        return limbs[..., :out_limbs]
+
+    def _cond_sub_p8(self, t8):
+        t16 = self.merge16(t8)
+        return self.F._cond_sub_p_arr(t16)
+
+    # -- the MXU path -----------------------------------------------------------
+    def _dot(self, x8, table):
+        """Exact integer product on the MXU: (..., K8) @ (K8, C) -> int32."""
+        return jax.lax.dot_general(
+            x8.astype(jnp.int8) if False else x8.astype(jnp.float32),
+            table.astype(jnp.float32),
+            dimension_numbers=(((x8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+    @partial(jax.jit, static_argnums=0)
+    def mul_const(self, x16, w_toep):
+        """mont_mul(x, w) with w's (K8, 2K8) Toeplitz table (int32 values).
+
+        x16: (N, K) canonical 16-bit Montgomery limbs. Returns (N, K).
+        """
+        x8 = self.split8(x16)
+        t_cols = self._dot(x8, w_toep)  # (N, 2K8) uncarried
+        t8 = self._carry8(t_cols, 2 * self.K8 + 1)
+        m_cols = self._dot(t8[..., : self.K8], self.np_toep)  # (N, K8)
+        m8 = self._carry8(m_cols, self.K8)
+        u_cols = self._dot(m8, self.p_toep)  # (N, 2K8)
+        pad = t8.shape[-1] - u_cols.shape[-1]
+        u_full = jnp.pad(u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, pad)])
+        res8 = self._carry8(t8 + u_full, self.K8, drop_low=self.K8)
+        return self._cond_sub_p8(res8)
+
+    def toeplitz_for(self, w_mont: int):
+        """Host: Montgomery-form constant -> device Toeplitz table."""
+        return jnp.asarray(_toeplitz_u8(w_mont, self.K8))
+
+    @partial(jax.jit, static_argnums=0)
+    def mul_const_batched(self, x16, w_toeps):
+        """Per-group constants: x16 (G, B, K) × w_toeps (G, K8, 2K8).
+
+        The NTT stage shape: G = butterfly positions (each with its own
+        twiddle), B = rows sharing that twiddle. One batched MXU matmul.
+        """
+        x8 = self.split8(x16)  # (G, B, K8)
+        t_cols = jax.lax.dot_general(
+            x8.astype(jnp.float32), w_toeps.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (G, B, 2K8)
+        t8 = self._carry8(t_cols, 2 * self.K8 + 1)
+        m_cols = self._dot(t8[..., : self.K8], self.np_toep)
+        m8 = self._carry8(m_cols, self.K8)
+        u_cols = self._dot(m8, self.p_toep)
+        pad = t8.shape[-1] - u_cols.shape[-1]
+        u_full = jnp.pad(u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, pad)])
+        res8 = self._carry8(t8 + u_full, self.K8, drop_low=self.K8)
+        return self._cond_sub_p8(res8)

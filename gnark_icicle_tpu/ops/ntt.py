@@ -94,6 +94,19 @@ class Domain:
         self.tw_inv = _pow_table(F, wi, half)
         self.n_inv = jnp.asarray(F.encode([pow(self.n, -1, q)])[0], dtype=I32)
 
+        # optional MXU twiddle-matmul path (ops/mxu_field.py): stages whose
+        # twiddle count m is small enough ride the systolic array; opt-in
+        # (GNARK_TPU_MXU_NTT=1) while the integration is validated at scale.
+        import os
+
+        self._mxu = None
+        self._mxu_tables = {}
+        if os.environ.get("GNARK_TPU_MXU_NTT", "0") == "1":
+            from .mxu_field import MXUConstMul
+
+            self._mxu = MXUConstMul(F)
+            self._mxu_max_m = int(os.environ.get("GNARK_TPU_MXU_MAX_M", "4096"))
+
         self.coset_gen = coset_gen
         if coset_gen is not None:
             g = jnp.asarray(F.encode([coset_gen])[0], dtype=I32)
@@ -106,9 +119,40 @@ class Domain:
     # Transforms act along axis -2 of (..., n, K) arrays: leading axes are
     # batch (the 4-step distributed NTT runs row/column sub-transforms as
     # batches, parallel/ntt.py).
+    def _mxu_stage_tables(self, tw_key, stride: int, m: int):
+        """(m, K8, 2K8) Toeplitz stack for one stage's twiddles (cached)."""
+        key = (tw_key, stride, m)
+        if key not in self._mxu_tables:
+            from .mxu_field import _toeplitz_u8
+
+            q = self.F.modulus
+            base = self.omega if tw_key == "f" else pow(self.omega, -1, q)
+            w = pow(base, stride, q)
+            rows = []
+            cur = self.F.R % q  # Montgomery form of omega^0
+            for _ in range(m):
+                rows.append(_toeplitz_u8(cur, self._mxu.K8))
+                cur = cur * w % q
+            self._mxu_tables[key] = jnp.asarray(np.stack(rows))
+        return self._mxu_tables[key]
+
+    def _twiddle_mul(self, d, w, tw_key, stride: int, m: int):
+        """d (..., m, K) × stage twiddles — MXU path when armed and m small."""
+        F = self.F
+        if self._mxu is None or m > self._mxu_max_m or m < 8:
+            return F.mont_mul(d, jnp.broadcast_to(w, d.shape))
+        tables = self._mxu_stage_tables(tw_key, stride, m)
+        batch = d.shape[:-2]
+        # group per twiddle: (..., m, K) -> (m, B, K)
+        flat = d.reshape(-1, m, F.K)
+        grouped = jnp.swapaxes(flat, 0, 1)
+        out = self._mxu.mul_const_batched(grouped, tables)
+        return jnp.swapaxes(out, 0, 1).reshape(batch + (m, F.K))
+
     def _dif(self, x, tw):
         """Natural-order input -> bit-reversed output (decimation in freq)."""
         F, n = self.F, self.n
+        tw_key = "f" if tw is self.tw_fwd else "i"
         batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n - 1, -1, -1)]:
             stride = n // (2 * m)
@@ -116,20 +160,21 @@ class Domain:
             v = x.reshape(batch + (-1, 2, m, F.K))
             a, b = v[..., 0, :, :], v[..., 1, :, :]
             s = F.add(a, b)
-            d = F.mont_mul(F.sub(a, b), jnp.broadcast_to(w, a.shape))
+            d = self._twiddle_mul(F.sub(a, b), w, tw_key, stride, m)
             x = jnp.stack([s, d], axis=-3).reshape(batch + (-1, F.K))
         return x
 
     def _dit(self, x, tw):
         """Bit-reversed input -> natural-order output (decimation in time)."""
         F, n = self.F, self.n
+        tw_key = "f" if tw is self.tw_fwd else "i"
         batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n)]:
             stride = n // (2 * m)
             w = tw[::stride][:m]
             v = x.reshape(batch + (-1, 2, m, F.K))
             a = v[..., 0, :, :]
-            b = F.mont_mul(v[..., 1, :, :], jnp.broadcast_to(w, a.shape))
+            b = self._twiddle_mul(v[..., 1, :, :], w, tw_key, stride, m)
             x = jnp.stack([F.add(a, b), F.sub(a, b)], axis=-3).reshape(
                 batch + (-1, F.K)
             )

@@ -27,14 +27,11 @@ class DeviceCtx:
     def __new__(cls, curve):
         if curve.name in cls._cache:
             return cls._cache[curve.name]
-        self = super().__new__(cls)
-        cls._cache[curve.name] = self
-        return self
+        return super().__new__(cls)
 
     def __init__(self, curve):
         if getattr(self, "_initialized", False):
             return
-        self._initialized = True
         self.curve = curve
         self.fp_dev = field_for(curve.fp.modulus)
         self.fr_dev = field_for(curve.fr.modulus)
@@ -73,6 +70,11 @@ class DeviceCtx:
                     self.fp_dev, (g2_b3.c0, g2_b3.c1), fp2=True,
                     interpret=interpret,
                 )
+
+        # register only after a fully successful init — a transient device
+        # failure mid-construction must not poison the singleton cache
+        self._initialized = True
+        DeviceCtx._cache[curve.name] = self
 
     # -- domains -----------------------------------------------------------
     def domain(self, log_n: int, coset: bool = False) -> Domain:

@@ -33,6 +33,9 @@ class ProvingKey:
     # (same trick as the reference's bitReverse(Z), setup.go:265)
     g1_z: list
     domain_log_n: int = 0
+    # per-commitment Pedersen proving keys (≙ pk.CommitmentKeys,
+    # setup.go:297-305); basis = the committed wires' K points
+    commitment_keys: list = field(default_factory=list)
     _device: dict = field(default_factory=dict, repr=False)
 
     def device_arrays(self, ctx):
@@ -54,9 +57,15 @@ class VerifyingKey:
     g2_beta: tuple
     g2_gamma: tuple
     g2_delta: tuple
-    # [(β·A_k + α·B_k + C_k)/γ]₁ for public wires (index = wire id)
+    # [(β·A_k + α·B_k + C_k)/γ]₁ for public wires (index = wire id),
+    # followed by one point per commitment wire
     g1_k: list
     nb_public: int = 0
+    # ≙ vk.CommitmentKeys + vk.PublicAndCommitmentCommitted (setup.go:302-307)
+    commitment_keys: list = field(default_factory=list)
+    # per commitment: indices into the extended public witness ([1]+publics+
+    # commitment values) of its committed public/commitment wires
+    public_and_commitment_committed: list = field(default_factory=list)
     _e_alpha_beta: object = field(default=None, repr=False)
 
     def e_alpha_beta(self, curve):
@@ -73,3 +82,7 @@ class Proof:
     ar: tuple  # G1
     krs: tuple  # G1
     bs: tuple  # G2
+    # BSB22: one Pedersen commitment per api.commit + one folded proof of
+    # knowledge (≙ Proof.Commitments/CommitmentPok, prove.go:44-49)
+    commitments: list = field(default_factory=list)
+    commitment_pok: tuple = None

@@ -80,7 +80,59 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         lambda m: secrets.randbelow(m - 1) + 1
     )
 
-    res = solve(cs, public_values, secret_values)
+    # BSB22: replace the placeholder hint with the real Pedersen commitment
+    # (≙ solver.OverrideHint in prove.go:82-108 / icicle.go:158-187)
+    overrides = None
+    commitment_pts = [None] * len(cs.commitments)
+    committed_values = [None] * len(cs.commitments)
+    if cs.commitments:
+        from .. import pedersen
+        from ..hash_to_field import (
+            COMMITMENT_DST, hash_to_fr, serialize_commitment,
+        )
+        from ...constraint import hints as hintlib
+        from ...io.serialize import g1_to_bytes
+
+        fr_bytes = (q.bit_length() + 7) // 8
+
+        def bsb22_override(qmod, inputs):
+            i = int(inputs[0])
+            cinfo = cs.commitments[i]
+            rest = inputs[1:]
+            hashed = rest[:len(cinfo.public_and_commitment_committed)]
+            committed_values[i] = [v % qmod for v in rest[len(hashed):]]
+            cm = pedersen.commit(
+                curve, pk.commitment_keys[i], committed_values[i]
+            )
+            commitment_pts[i] = cm
+            msg = serialize_commitment(
+                g1_to_bytes(curve, cm, compressed=False), hashed, fr_bytes
+            )
+            return [hash_to_fr(msg, COMMITMENT_DST, qmod)[0]]
+
+        overrides = {hintlib.BSB22_PLACEHOLDER: bsb22_override}
+
+    res = solve(cs, public_values, secret_values, hint_overrides=overrides)
+
+    # proofs of knowledge, folded with the G16-BSB22 challenge
+    # (≙ prove.go:121-141)
+    commitment_pok = None
+    if cs.commitments:
+        from ..hash_to_field import G16_FOLD_DST
+
+        poks = [
+            pedersen.prove_knowledge(curve, pk.commitment_keys[i],
+                                     committed_values[i])
+            for i in range(len(cs.commitments))
+        ]
+        wires_all = res.wires
+        msg = b"".join(
+            int(wires_all[c.commitment_index]).to_bytes(fr_bytes, "big")
+            for c in cs.commitments
+        )
+        challenge = hash_to_fr(msg, G16_FOLD_DST, q)[0]
+        commitment_pok = pedersen.fold_proofs(curve, poks, challenge)
+
     log_n = pk.domain_log_n
     n = 1 << log_n
 
@@ -91,18 +143,34 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     dev = pk.device_arrays(ctx)
     wires_u16 = res.wires_u16()
     wires = ctx.fr_scalars(wires_u16)
-    priv_wires = ctx.fr_scalars(wires_u16[cs.nb_public:])
-
     nw = wires_u16.shape[0]
+    if cs.commitments:
+        # pk.K excludes commitment wires and committed private wires
+        # (their K points became vk.K entries / Pedersen bases)
+        import numpy as np
+
+        excluded = {c.commitment_index for c in cs.commitments}
+        for c in cs.commitments:
+            excluded.update(c.private_committed)
+        k_idx = np.array(
+            [w for w in range(cs.nb_public, nw) if w not in excluded],
+            dtype=np.int64,
+        )
+        priv_u16 = wires_u16[k_idx]
+    else:
+        priv_u16 = wires_u16[cs.nb_public:]
+    priv_wires = ctx.fr_scalars(priv_u16)
+    nb_priv = priv_u16.shape[0]
+
     c_all = pick_window(nw)
     ar_dev = ctx.msm_g1.msm(dev["a"][0], dev["a"][1], wires, c_all)
     bs1_dev = ctx.msm_g1.msm(dev["b1"][0], dev["b1"][1], wires, c_all)
     bs2_dev = ctx.msm_g2.msm(dev["b2"][0], dev["b2"][1], wires, c_all)
     krs_parts = []
-    if nw - cs.nb_public > 0:
+    if nb_priv > 0:
         krs_parts.append(
             ctx.msm_g1.msm(dev["k"][0], dev["k"][1], priv_wires,
-                           pick_window(nw - cs.nb_public))
+                           pick_window(nb_priv))
         )
     krs_parts.append(
         ctx.msm_g1.msm(dev["z"][0], dev["z"][1], h_scalars, pick_window(n))
@@ -136,4 +204,5 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         "groth16 prove: curve=%s constraints=%d took=%.3fs (acceleration=tpu)",
         curve.name, cs.nb_constraints, time.perf_counter() - t_start,
     )  # ≙ icicle.go:412 structured "done" log
-    return Proof(ar=ar, krs=krs, bs=bs)
+    return Proof(ar=ar, krs=krs, bs=bs, commitments=commitment_pts,
+                 commitment_pok=commitment_pok)

@@ -95,14 +95,29 @@ def setup(cs: R1CS, curve, rng=None):
     inv_gamma = pow(gamma, -1, q)
     inv_delta = pow(delta, -1, q)
 
+    # K-scalar partitioning (≙ setup.go:143-196): public wires AND
+    # commitment wires go to vk.K (γ-scaled — the verifier injects their
+    # values), committed private wires become the per-commitment Pedersen
+    # bases (also γ-scaled), everything else is pk.K (δ-scaled).
     nb_pub = cs.nb_public
-    vk_k_scalars = [
-        (beta * A[k] + alpha * B[k] + C[k]) * inv_gamma % q
-        for k in range(nb_pub)
+    commitment_wires = [c.commitment_index for c in cs.commitments]
+    private_committed = [list(c.private_committed) for c in cs.commitments]
+    committed_set = set(commitment_wires)
+    for pc in private_committed:
+        committed_set.update(pc)
+
+    def k_scalar(k, inv):
+        return (beta * A[k] + alpha * B[k] + C[k]) * inv % q
+
+    vk_k_scalars = [k_scalar(k, inv_gamma) for k in range(nb_pub)]
+    vk_k_scalars += [k_scalar(w, inv_gamma) for w in commitment_wires]
+    ck_k_scalars = [
+        [k_scalar(w, inv_gamma) for w in pc] for pc in private_committed
     ]
     pk_k_scalars = [
-        (beta * A[k] + alpha * B[k] + C[k]) * inv_delta % q
+        k_scalar(k, inv_delta)
         for k in range(nb_pub, cs.nb_wires)
+        if k not in committed_set
     ]
     # Z points: τ^i·Z(τ)/δ for i < n-1 — stored bit-reversed (setup.go:265)
     zd = z_tau * inv_delta % q
@@ -144,6 +159,37 @@ def setup(cs: R1CS, curve, rng=None):
             ctx.g2_dev, g2, ctx.fr_scalars, G2, scalars, bits
         )
 
+    # Pedersen commitment keys (≙ setup.go:294-305: per-commitment
+    # pedersen.Setup over the committed wires' K points, one shared G2).
+    from ..pedersen import PedersenProvingKey, PedersenVerifyingKey
+
+    ck_pks, ck_vks = [], []
+    if cs.commitments:
+        c_g2 = mul_g2(rand(q))  # ≙ curve.RandomOnG2 (setup.go:293)
+        for scalars in ck_k_scalars:
+            sigma = rand(q)
+            ck_pks.append(PedersenProvingKey(
+                basis=batch_g1(scalars),
+                basis_exp_sigma=batch_g1(
+                    [s * sigma % q for s in scalars]
+                ),
+            ))
+            ck_vks.append(PedersenVerifyingKey(
+                g=c_g2,
+                g_sigma_neg=g2.scalar_mul(c_g2, (q - sigma) % q),
+            ))
+
+    # verifier-side committed-wire indices into the extended public witness
+    # (≙ GetPublicAndCommitmentCommitted, constraint/commitment.go:53-74):
+    # public wire ids stay as-is; committed commitment wires translate to
+    # nb_pub + their position in the commitment list.
+    cw_pos = {w: i for i, w in enumerate(commitment_wires)}
+    pub_and_com_committed = [
+        [w if w < nb_pub else nb_pub + cw_pos[w]
+         for w in c.public_and_commitment_committed]
+        for c in cs.commitments
+    ]
+
     pk = ProvingKey(
         g1_alpha=mul_g1(alpha),
         g1_beta=mul_g1(beta),
@@ -156,6 +202,7 @@ def setup(cs: R1CS, curve, rng=None):
         g1_k=batch_g1(pk_k_scalars),
         g1_z=_bit_reverse_list(batch_g1(z_scalars), n),
         domain_log_n=log_n,
+        commitment_keys=ck_pks,
     )
     vk = VerifyingKey(
         g1_alpha=pk.g1_alpha,
@@ -164,6 +211,8 @@ def setup(cs: R1CS, curve, rng=None):
         g2_delta=pk.g2_delta,
         g1_k=batch_g1(vk_k_scalars),
         nb_public=nb_pub,
+        commitment_keys=ck_vks,
+        public_and_commitment_committed=pub_and_com_committed,
     )
     return pk, vk
 
@@ -172,18 +221,30 @@ def dummy_setup(cs: R1CS, curve) -> ProvingKey:
     """Fake PK for prove-latency benchmarking without a ceremony
     (≙ groth16.DummySetup, setup.go:494: every point is a fixed small
     multiple of the generator; proofs are NOT verifiable)."""
+    from ..pedersen import PedersenProvingKey
+
     log_n = _next_pow2_log(max(cs.nb_constraints, 2))
     n = 1 << log_n
     g1, g2 = curve.g1, curve.g2
     p1 = g1.scalar_mul(g1.generator, 42)
     p2 = g2.scalar_mul(g2.generator, 42)
     nw = cs.nb_wires
+    nb_committed = sum(
+        1 + len(c.private_committed) for c in cs.commitments
+    )
     return ProvingKey(
         g1_alpha=p1, g1_beta=p1, g1_delta=p1, g2_beta=p2, g2_delta=p2,
         g1_a=[p1] * nw, g1_b=[p1] * nw, g2_b=[p2] * nw,
-        g1_k=[p1] * (nw - cs.nb_public),
+        g1_k=[p1] * (nw - cs.nb_public - nb_committed),
         g1_z=[p1] * (n - 1) + [None],
         domain_log_n=log_n,
+        commitment_keys=[
+            PedersenProvingKey(
+                basis=[p1] * len(c.private_committed),
+                basis_exp_sigma=[p1] * len(c.private_committed),
+            )
+            for c in cs.commitments
+        ],
     )
 
 

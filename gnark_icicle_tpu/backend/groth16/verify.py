@@ -28,17 +28,62 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
         raise VerificationError(
             f"expected {vk.nb_public - 1} public inputs, got {len(public_values)}"
         )
-    for name, pt, grp in (
+    proof_points = [
         ("Ar", proof.ar, g1), ("Krs", proof.krs, g1), ("Bs", proof.bs, g2),
-    ):
+    ]
+    proof_points += [
+        (f"Commitment[{i}]", cm, g1) for i, cm in enumerate(proof.commitments)
+    ]
+    if proof.commitment_pok is not None:
+        proof_points.append(("CommitmentPok", proof.commitment_pok, g1))
+    for name, pt, grp in proof_points:
+        if pt is None:
+            continue  # infinity is in the subgroup
         if not grp.is_on_curve(pt):
             raise VerificationError(f"proof point {name} not on curve")
         if not grp.in_subgroup(pt):  # ≙ verify.go:67 subgroup checks
             raise VerificationError(f"proof point {name} not in subgroup")
 
-    # kSum = Σ_pub x_i · K_i (small host MSM, ≙ verify.go:117-129)
     xs = [1] + [int(v) % q for v in public_values]
+
+    # BSB22: re-derive each commitment wire value from the proof's
+    # commitment point + the committed public values, then check the folded
+    # Pedersen proof of knowledge (≙ verify.go:82-115 solveCommitmentWire +
+    # pedersen.BatchVerifyMultiVk).
+    if vk.commitment_keys:
+        from .. import pedersen
+        from ..hash_to_field import (
+            COMMITMENT_DST, G16_FOLD_DST, hash_to_fr, serialize_commitment,
+        )
+        from ...io.serialize import g1_to_bytes
+
+        if len(proof.commitments) != len(vk.commitment_keys):
+            raise VerificationError("wrong number of commitments in proof")
+        fr_bytes = (q.bit_length() + 7) // 8
+        for i, committed_idx in enumerate(vk.public_and_commitment_committed):
+            msg = serialize_commitment(
+                g1_to_bytes(curve, proof.commitments[i], compressed=False),
+                [xs[j] for j in committed_idx],
+                fr_bytes,
+            )
+            xs.append(hash_to_fr(msg, COMMITMENT_DST, q)[0])
+        challenge_msg = b"".join(
+            int(v).to_bytes(fr_bytes, "big")
+            for v in xs[vk.nb_public:]
+        )
+        challenge = hash_to_fr(challenge_msg, G16_FOLD_DST, q)[0]
+        if not pedersen.batch_verify_multi_vk(
+            curve, vk.commitment_keys, proof.commitments,
+            proof.commitment_pok, challenge,
+        ):
+            raise VerificationError("commitment proof of knowledge invalid")
+    elif proof.commitments:
+        raise VerificationError("proof carries unexpected commitments")
+
+    # kSum = Σ x_i · K_i + Σ commitments (small host MSM, ≙ verify.go:117-129)
     k_sum = g1.msm(xs, vk.g1_k)
+    for cm in proof.commitments:
+        k_sum = g1.add(k_sum, cm)
 
     # e(Ar,Bs) · e(−kSum,γ) · e(−Krs,δ) == e(α,β)
     lhs = curve.miller_and_final_exp(

@@ -77,6 +77,36 @@ def div_unchecked_hint(q: int, inputs: list) -> list:
     return [a * pow(b, -1, q) % q]
 
 
+def randomize_hint(q: int, inputs: list) -> list:
+    """Fresh random field element — the hiding mask appended to every
+    commitment's committed set (≙ hints.Randomize via builder.Commit,
+    reference: frontend/cs/r1cs/api.go Commit's mask block)."""
+    import secrets
+
+    return [secrets.randbelow(q - 1) + 1]
+
+
+def bsb22_placeholder_hint(q: int, inputs: list) -> list:
+    """Commitment wire placeholder, replaced by the prover's real Pedersen
+    commitment at prove time (≙ cs.Bsb22CommitmentComputePlaceholder,
+    reference: frontend/cs/commitment.go:15-29).
+
+    Outside Prove (engine runs, solver-only tests) it returns a nonzero
+    value derived deterministically from the committed inputs so solving
+    succeeds — as the reference does under `go test` — but such a "proof"
+    is NOT sound; groth16.prove always overrides this hint.
+    """
+    from ..backend.hash_to_field import hash_to_fr
+
+    msg = b"".join(int(v % q).to_bytes(32, "big") for v in inputs)
+    v = hash_to_fr(msg, b"bsb22-placeholder", q)[0]
+    return [v if v != 0 else 1]
+
+
 INV_OR_ZERO = register_hint(inv_or_zero_hint, "core.inv_or_zero")
 TO_BITS = register_hint(to_bits_hint, "core.to_bits")
 DIV_UNCHECKED = register_hint(div_unchecked_hint, "core.div_unchecked")
+RANDOMIZE = register_hint(randomize_hint, "core.randomize")
+BSB22_PLACEHOLDER = register_hint(
+    bsb22_placeholder_hint, "core.bsb22_commitment_placeholder"
+)

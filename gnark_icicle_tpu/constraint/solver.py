@@ -77,7 +77,7 @@ class SolveResult:
 
 
 def solve(cs: R1CS, public_values: list, secret_values: list,
-          native: str | bool = "auto") -> SolveResult:
+          native: str | bool = "auto", hint_overrides=None) -> SolveResult:
     """Derive all wires from the input assignment.
 
     public_values: values of public wires 1..nb_public-1 (ONE is implicit)
@@ -85,11 +85,14 @@ def solve(cs: R1CS, public_values: list, secret_values: list,
     native: True / False / "auto" — large systems route through the C++
     4x64-Montgomery core (gnark_icicle_tpu.native, ≙ gnark-crypto's asm
     layer); identical results, orders of magnitude faster host solve.
+    hint_overrides: {hint_id: fn} replacing registered hints for this solve
+    (≙ solver.OverrideHint — the BSB22 prover path, prove.go:82-84).
     """
     if native is True or (native == "auto" and cs.nb_constraints >= 512):
         from ..native import solve_native
 
-        res = solve_native(cs, public_values, secret_values)
+        res = solve_native(cs, public_values, secret_values,
+                           hint_overrides=hint_overrides)
         if res is not None:
             return res
     q = cs.q
@@ -148,8 +151,9 @@ def solve(cs: R1CS, public_values: list, secret_values: list,
                     s += coeffs[cid] * v
                 inputs.append(s % q)
             inputs.extend(h.static_args)
+            fn = (hint_overrides or {}).get(h.hint_id) or get_hint(h.hint_id)
             try:
-                outs = get_hint(h.hint_id)(q, inputs)
+                outs = fn(q, inputs)
             except Exception as e:  # noqa: BLE001 — hint errors surface as solve errors
                 raise UnsatisfiedConstraintError(
                     -1, f"hint {hint_name(h.hint_id)} failed: {e}"

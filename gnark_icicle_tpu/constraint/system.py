@@ -35,6 +35,23 @@ INSTR_HINT = 1
 
 
 @dataclass
+class Groth16Commitment:
+    """One BSB22 commitment (≙ constraint.Groth16Commitment,
+    reference: constraint/commitment.go:9-14).
+
+    public_and_commitment_committed: sorted wire ids of committed public
+    wires followed by committed earlier-commitment wires;
+    private_committed: sorted ids of committed private/internal wires;
+    commitment_index: the commitment's own wire id (the hint output).
+    """
+
+    public_and_commitment_committed: list
+    nb_public_committed: int
+    private_committed: list
+    commitment_index: int
+
+
+@dataclass
 class HintInstr:
     hint_id: int
     # inputs: list of linear expressions, each a list of (coeff_id, wire_id)
@@ -80,6 +97,8 @@ class R1CS:
         # debug/log
         self.log_entries: list = []  # (format, [linear expressions])
         self.constraint_origins: list = []  # optional per-constraint source info
+        # BSB22 commitments (≙ System.CommitmentInfo, constraint/core.go)
+        self.commitments: list[Groth16Commitment] = []
 
     # -- sizes ---------------------------------------------------------------
     @property

@@ -359,6 +359,79 @@ class Builder:
         self.cs.add_hint(hid, in_exprs, out_wids, static_args=static_args)
         return [Var({w: 1}) for w in out_wids]
 
+    def commit(self, *vs):
+        """BSB22 commitment to the given variables (≙ builder.Commit,
+        reference: frontend/cs/r1cs/api.go:689-830).
+
+        Appends a random hiding mask, sorts the committed wires into
+        public/commitment/private classes (a private wire already committed
+        by an earlier commitment is replaced by that commitment's wire),
+        and emits the placeholder hint the prover overrides with the real
+        Pedersen commitment. Returns the commitment variable.
+        """
+        from ..constraint.system import Groth16Commitment
+
+        # hiding mask, involved in a (tautological) constraint so it gets a
+        # nonzero K scalar and thus a usable Pedersen basis point
+        (mask,) = self.new_hint(hintlib.RANDOMIZE, 1)
+        self.cs.add_r1c(
+            self._terms_list(mask), [(COEFF_ONE, 0)], self._terms_list(mask)
+        )
+        vs = list(vs) + [mask]
+
+        existing = [c.commitment_index for c in self.cs.commitments]
+        committed_by = {}  # private wire id -> index of committing commitment
+        for ci, c in enumerate(self.cs.commitments):
+            for w in c.private_committed:
+                committed_by[w] = ci
+
+        # gather candidate wire ids (constants/ONE contribute nothing)
+        worklist = set()
+        for v in vs:
+            for w in self._to_var(v).terms:
+                if w != 0:
+                    worklist.add(w)
+
+        nb_pub = self.cs.nb_public
+        public_committed = set()
+        commitment_committed = set()
+        private_committed = set()
+        pending = sorted(worklist)
+        while pending:
+            w = pending.pop(0)
+            if w < nb_pub:
+                public_committed.add(w)
+            elif w in existing:
+                commitment_committed.add(w)
+            elif w in committed_by:
+                # commit to the earlier commitment instead of double-binding
+                cw = existing[committed_by[w]]
+                if cw not in commitment_committed:
+                    pending.append(cw)
+            else:
+                private_committed.add(w)
+
+        pub_sorted = sorted(public_committed)
+        com_sorted = sorted(commitment_committed)
+        priv_sorted = sorted(private_committed)
+        if not (pub_sorted or com_sorted or priv_sorted):
+            raise ValueError("must commit to at least one variable")
+
+        inputs = (
+            [Var({0: len(self.cs.commitments)})]
+            + [Var({w: 1}) for w in pub_sorted + com_sorted]
+            + [Var({w: 1}) for w in priv_sorted]
+        )
+        (res,) = self.new_hint(hintlib.BSB22_PLACEHOLDER, 1, *inputs)
+        (cwid,) = res.terms
+        self.cs.commitments.append(Groth16Commitment(
+            public_and_commitment_committed=pub_sorted + com_sorted,
+            nb_public_committed=len(pub_sorted),
+            private_committed=priv_sorted,
+            commitment_index=cwid,
+        ))
+        return res
+
     def println(self, *args):
         """Record values to resolve at solve time (≙ api.Println)."""
         entry = []

@@ -147,6 +147,16 @@ class Engine:
             raise EngineUnsatisfiedError("hint output arity mismatch")
         return [o % self.q for o in outs]
 
+    def commit(self, *vs):
+        """Deterministic stand-in commitment — hash of the committed values,
+        nonzero (≙ the reference test engine's Commit, test/engine.go:
+        cSHAKE128 over the values with a 0→1 fallback)."""
+        from ..backend.hash_to_field import hash_to_fr
+
+        msg = b"".join(self._v(x).to_bytes(32, "big") for x in vs)
+        v = hash_to_fr(msg, b"engine-commit", self.q)[0]
+        return v if v != 0 else 1
+
     def println(self, *args):
         pass
 

@@ -42,6 +42,15 @@ def pk_to_bytes(curve, pk: ProvingKey, compressed: bool = False) -> bytes:
     out += struct.pack(">I", len(pk.g2_b))
     for pt in pk.g2_b:
         out += g2_to_bytes(curve, pt, compressed)
+    # BSB22 pedersen proving keys (≙ pk.CommitmentKeys in marshal.go)
+    cks = getattr(pk, "commitment_keys", []) or []
+    out += struct.pack(">I", len(cks))
+    for ck in cks:
+        out += struct.pack(">I", len(ck.basis))
+        for pt in ck.basis:
+            out += g1_to_bytes(curve, pt, compressed)
+        for pt in ck.basis_exp_sigma:
+            out += g1_to_bytes(curve, pt, compressed)
     return bytes(out)
 
 
@@ -76,11 +85,30 @@ def pk_from_bytes(curve, data: bytes) -> ProvingKey:
         pt, n = g2_from_bytes(curve, data, off)
         g2_b.append(pt)
         off += n
+    cks = []
+    if off < len(data):  # older encodings lack the commitment-key section
+        from ..backend.pedersen import PedersenProvingKey
+
+        (nb_ck,) = struct.unpack_from(">I", data, off)
+        off += 4
+        for _ in range(nb_ck):
+            (bl,) = struct.unpack_from(">I", data, off)
+            off += 4
+            basis, sigma_basis = [], []
+            for target in (basis, sigma_basis):
+                for _ in range(bl):
+                    pt, n = g1_from_bytes(curve, data, off)
+                    target.append(pt)
+                    off += n
+            cks.append(PedersenProvingKey(
+                basis=basis, basis_exp_sigma=sigma_basis
+            ))
     return ProvingKey(
         g1_alpha=singles_g1[0], g1_beta=singles_g1[1], g1_delta=singles_g1[2],
         g2_beta=singles_g2[0], g2_delta=singles_g2[1],
         g1_a=lists_g1[0], g1_b=lists_g1[1], g1_k=lists_g1[2],
         g1_z=lists_g1[3], g2_b=g2_b, domain_log_n=log_n,
+        commitment_keys=cks,
     )
 
 
@@ -183,6 +211,12 @@ def r1cs_to_bytes(cs: R1CS) -> bytes:
     out += _pack_ints([k for k, _ in cs.instructions])
     out += _pack_ints([i for _, i in cs.instructions])
     out += _pack_hints(cs.hints)
+    # BSB22 commitment info (≙ System.CommitmentInfo in the CBOR payload)
+    out += struct.pack(">I", len(cs.commitments))
+    for c in cs.commitments:
+        out += struct.pack(">II", c.nb_public_committed, c.commitment_index)
+        out += _pack_ints(c.public_and_commitment_committed)
+        out += _pack_ints(c.private_committed)
     return bytes(out)
 
 
@@ -213,6 +247,22 @@ def r1cs_from_bytes(data: bytes) -> R1CS:
     idxs, off = _unpack_ints(data, off)
     cs.instructions = list(zip(kinds, idxs))
     cs.hints, off = _unpack_hints(data, off, HintInstr)
+    if off < len(data):
+        from ..constraint.system import Groth16Commitment
+
+        (nb_c,) = struct.unpack_from(">I", data, off)
+        off += 4
+        for _ in range(nb_c):
+            nb_pc, c_idx = struct.unpack_from(">II", data, off)
+            off += 8
+            pacc, off = _unpack_ints(data, off)
+            priv, off = _unpack_ints(data, off)
+            cs.commitments.append(Groth16Commitment(
+                public_and_commitment_committed=list(pacc),
+                nb_public_committed=nb_pc,
+                private_committed=list(priv),
+                commitment_index=c_idx,
+            ))
     cs.constraint_origins = [None] * len(cs.l_off)
     cs.public_names = ["one"] + [f"pub{i}" for i in range(cs.nb_public - 1)]
     cs.secret_names = [f"sec{i}" for i in range(cs.nb_secret)]

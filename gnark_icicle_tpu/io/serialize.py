@@ -191,13 +191,18 @@ def g2_from_bytes(curve, data: bytes, offset: int = 0):
 # ---------------------------------------------------------------------------
 
 def proof_to_bytes(curve, proof, compressed: bool = True) -> bytes:
-    """Ar | Bs | Krs | uint32 nbCommitments | PoK (marshal.go:44-69)."""
+    """Ar | Bs | Krs | uint32 nbCommitments | commitments | PoK
+    (marshal.go:44-69)."""
     out = bytearray()
     out += g1_to_bytes(curve, proof.ar, compressed)
     out += g2_to_bytes(curve, proof.bs, compressed)
     out += g1_to_bytes(curve, proof.krs, compressed)
-    out += struct.pack(">I", 0)  # no BSB22 commitments yet
-    out += g1_to_bytes(curve, None, compressed)  # commitment PoK
+    commitments = getattr(proof, "commitments", []) or []
+    out += struct.pack(">I", len(commitments))
+    for cm in commitments:
+        out += g1_to_bytes(curve, cm, compressed)
+    out += g1_to_bytes(curve, getattr(proof, "commitment_pok", None),
+                       compressed)
     return bytes(out)
 
 
@@ -213,12 +218,15 @@ def proof_from_bytes(curve, data: bytes):
     off += n
     (nb_comm,) = struct.unpack_from(">I", data, off)
     off += 4
+    commitments = []
     for _ in range(nb_comm):
-        _, n = g1_from_bytes(curve, data, off)
+        cm, n = g1_from_bytes(curve, data, off)
+        commitments.append(cm)
         off += n
-    _, n = g1_from_bytes(curve, data, off)  # PoK
+    pok, n = g1_from_bytes(curve, data, off)  # PoK
     off += n
-    return Proof(ar=ar, krs=krs, bs=bs), off
+    return Proof(ar=ar, krs=krs, bs=bs, commitments=commitments,
+                 commitment_pok=pok), off
 
 
 def vk_to_bytes(curve, vk, compressed: bool = True) -> bytes:
@@ -237,8 +245,19 @@ def vk_to_bytes(curve, vk, compressed: bool = True) -> bytes:
     out += struct.pack(">I", len(vk.g1_k))
     for pt in vk.g1_k:
         out += g1_to_bytes(curve, pt, compressed)
-    out += struct.pack(">I", 0)  # PublicAndCommitmentCommitted: empty
-    out += struct.pack(">I", 0)  # nb commitment keys
+    # PublicAndCommitmentCommitted as [][]uint64 then the pedersen VKs
+    # (marshal.go:110-159 trailing section)
+    pacc = getattr(vk, "public_and_commitment_committed", []) or []
+    out += struct.pack(">I", len(pacc))
+    for inner in pacc:
+        out += struct.pack(">I", len(inner))
+        for idx in inner:
+            out += struct.pack(">Q", idx)
+    cks = getattr(vk, "commitment_keys", []) or []
+    out += struct.pack(">I", len(cks))
+    for ck in cks:
+        out += g2_to_bytes(curve, ck.g, compressed)
+        out += g2_to_bytes(curve, ck.g_sigma_neg, compressed)
     return bytes(out)
 
 
@@ -258,17 +277,29 @@ def vk_from_bytes(curve, data: bytes):
         pt, n = g1_from_bytes(curve, data, off)
         g1_k.append(pt)
         off += n
-    # trailing: PublicAndCommitmentCommitted ([][]uint64) + nb commitment keys
+    # trailing: PublicAndCommitmentCommitted ([][]uint64) + commitment keys
     (pacc_len,) = struct.unpack_from(">I", data, off); off += 4
+    pacc = []
     for _ in range(pacc_len):
         (inner,) = struct.unpack_from(">I", data, off); off += 4
-        off += 8 * inner
+        row = []
+        for _ in range(inner):
+            (idx,) = struct.unpack_from(">Q", data, off); off += 8
+            row.append(int(idx))
+        pacc.append(row)
     (nb_ck,) = struct.unpack_from(">I", data, off); off += 4
+    cks = []
     if nb_ck:
-        raise NotImplementedError("BSB22 commitment keys not supported yet")
+        from ..backend.pedersen import PedersenVerifyingKey
+
+        for _ in range(nb_ck):
+            g, n = g2_from_bytes(curve, data, off); off += n
+            gsn, n = g2_from_bytes(curve, data, off); off += n
+            cks.append(PedersenVerifyingKey(g=g, g_sigma_neg=gsn))
     vk = VerifyingKey(
         g1_alpha=g1_alpha, g2_beta=g2_beta, g2_gamma=g2_gamma,
-        g2_delta=g2_delta, g1_k=g1_k, nb_public=k_len,
+        g2_delta=g2_delta, g1_k=g1_k, nb_public=k_len - nb_ck,
+        commitment_keys=cks, public_and_commitment_committed=pacc,
     )
     return vk, off
 

@@ -255,7 +255,7 @@ def solve_scs_native(cs, public_values, secret_values):
     )
 
 
-def solve_native(cs, public_values, secret_values):
+def solve_native(cs, public_values, secret_values, hint_overrides=None):
     """Native-core solve; same contract as constraint.solver.solve.
 
     Returns None when the native library is unavailable (caller falls back).
@@ -335,8 +335,9 @@ def solve_native(cs, public_values, secret_values):
                 s += cs.coeffs[cid] * wire_val(wid)
             ins.append(s % q)
         ins.extend(h.static_args)
+        fn = (hint_overrides or {}).get(h.hint_id) or get_hint(h.hint_id)
         try:
-            outs = get_hint(h.hint_id)(q, ins)
+            outs = fn(q, ins)
         except Exception as e:  # noqa: BLE001
             raise UnsatisfiedConstraintError(
                 -1, f"hint {hint_name(h.hint_id)} failed: {e}"

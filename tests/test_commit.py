@@ -1,0 +1,208 @@
+"""BSB22 commitments: api.commit → Pedersen commit/PoK → verifier folding.
+
+Parity model: reference test/commitments_test.go (single/multiple
+commitments, committing to public inputs, commitment-to-commitment) and the
+prover/verifier commitment paths (backend/groth16/bn254/prove.go:74-141,
+verify.go:82-115).
+"""
+
+import random
+
+import pytest
+
+from gnark_icicle_tpu.curves import bn254
+from gnark_icicle_tpu.frontend import Circuit, Public, Secret, compile_circuit
+from gnark_icicle_tpu.frontend.engine import check_solved
+from gnark_icicle_tpu.constraint.solver import solve, is_satisfied
+from gnark_icicle_tpu.backend import groth16
+
+CURVE = bn254.BN254
+Q = CURVE.fr.modulus
+
+
+class CommitCubic(Circuit):
+    """Cubic with a commitment binding x and the public y."""
+
+    x = Secret()
+    y = Public()
+
+    def define(self, api):
+        c = api.commit(self.x, self.y)
+        api.assert_is_different(c, 0)
+        x3 = api.mul(self.x, self.x, self.x)
+        api.assert_is_equal(self.y, api.add(x3, self.x, 5))
+
+
+class TwoCommits(Circuit):
+    """Second commitment commits to an already-committed variable, which
+    must transparently become a commitment-to-commitment (reference:
+    frontend/cs/r1cs/api.go Commit's privateCommittedSeeker path)."""
+
+    a = Secret()
+    b = Secret()
+    s = Public()
+
+    def define(self, api):
+        c1 = api.commit(self.a, self.b)
+        api.assert_is_different(c1, 0)
+        c2 = api.commit(self.a, c1)  # a already committed → binds c1 twice
+        api.assert_is_different(c2, 0)
+        api.assert_is_equal(api.add(self.a, self.b), self.s)
+
+
+class CommitPrivateOnly(Circuit):
+    a = Secret()
+    b = Secret()
+    p = Public()
+
+    def define(self, api):
+        c = api.commit(self.a, self.b, api.mul(self.a, self.b))
+        api.assert_is_different(c, 0)
+        api.assert_is_equal(api.mul(self.a, self.b), self.p)
+
+
+def test_engine_commit_deterministic_nonzero():
+    check_solved(CommitCubic(x=3, y=35), Q)
+    check_solved(TwoCommits(a=2, b=5, s=7), Q)
+    check_solved(CommitPrivateOnly(a=4, b=6, p=24), Q)
+
+
+def test_commitment_info_structure():
+    cs = compile_circuit(Q, CommitCubic)
+    assert len(cs.commitments) == 1
+    c = cs.commitments[0]
+    # y (wire 1) is the only committed public; x + mask are private
+    assert c.public_and_commitment_committed == [1]
+    assert c.nb_public_committed == 1
+    assert len(c.private_committed) == 2
+    assert all(w >= cs.nb_public for w in c.private_committed)
+    assert c.commitment_index > max(c.private_committed)
+
+
+def test_commitment_to_commitment_structure():
+    cs = compile_circuit(Q, TwoCommits)
+    assert len(cs.commitments) == 2
+    c1, c2 = cs.commitments
+    # c2's committed set contains c1's wire (a was already committed),
+    # no public wires, and its own fresh mask
+    assert c2.nb_public_committed == 0
+    assert c2.public_and_commitment_committed == [c1.commitment_index]
+    assert c1.commitment_index not in c2.private_committed
+    # a (committed by c1) must not be re-committed privately by c2
+    assert not (set(c1.private_committed) & set(c2.private_committed))
+
+
+def test_solver_placeholder_path():
+    """Without the prover override the placeholder hint must still solve
+    (≙ Bsb22CommitmentComputePlaceholder's test-mode branch)."""
+    cs = compile_circuit(Q, CommitCubic)
+    assert is_satisfied(cs, [35], [3])
+    assert not is_satisfied(cs, [36], [3])
+
+
+@pytest.fixture(scope="module")
+def commit_setup():
+    cs = compile_circuit(Q, CommitCubic)
+    pk, vk = groth16.setup(cs, CURVE, rng=random.Random(11))
+    proof = groth16.prove(cs, pk, [35], [3], CURVE, rng=random.Random(12))
+    return cs, pk, vk, proof
+
+
+def test_prove_verify_with_commitment(commit_setup):
+    _, _, vk, proof = commit_setup
+    assert len(proof.commitments) == 1
+    assert proof.commitment_pok is not None
+    groth16.verify(proof, vk, [35], CURVE)
+
+
+def test_vk_carries_commitment_keys(commit_setup):
+    cs, pk, vk, _ = commit_setup
+    assert len(vk.commitment_keys) == 1
+    assert len(pk.commitment_keys) == 1
+    assert len(pk.commitment_keys[0].basis) == 2  # x + mask
+    # vk.K covers publics + the commitment wire
+    assert len(vk.g1_k) == cs.nb_public + 1
+    assert vk.public_and_commitment_committed == [[1]]
+
+
+def test_tampered_commitment_rejected(commit_setup):
+    _, _, vk, proof = commit_setup
+    g1 = CURVE.g1
+    bad = groth16.Proof(
+        ar=proof.ar, krs=proof.krs, bs=proof.bs,
+        commitments=[g1.scalar_mul(g1.generator, 99)],
+        commitment_pok=proof.commitment_pok,
+    )
+    assert not groth16.is_valid(bad, vk, [35], CURVE)
+
+
+def test_tampered_pok_rejected(commit_setup):
+    _, _, vk, proof = commit_setup
+    g1 = CURVE.g1
+    bad = groth16.Proof(
+        ar=proof.ar, krs=proof.krs, bs=proof.bs,
+        commitments=list(proof.commitments),
+        commitment_pok=g1.scalar_mul(g1.generator, 7),
+    )
+    assert not groth16.is_valid(bad, vk, [35], CURVE)
+
+
+def test_missing_commitment_rejected(commit_setup):
+    _, _, vk, proof = commit_setup
+    bad = groth16.Proof(ar=proof.ar, krs=proof.krs, bs=proof.bs)
+    assert not groth16.is_valid(bad, vk, [35], CURVE)
+
+
+def test_proof_serialization_roundtrip_with_commitments(commit_setup):
+    from gnark_icicle_tpu.io.serialize import proof_to_bytes, proof_from_bytes
+
+    _, _, vk, proof = commit_setup
+    for compressed in (False, True):
+        blob = proof_to_bytes(CURVE, proof, compressed)
+        back, n = proof_from_bytes(CURVE, blob)
+        assert n == len(blob)
+        assert back.ar == proof.ar and back.krs == proof.krs
+        assert back.commitments == proof.commitments
+        assert back.commitment_pok == proof.commitment_pok
+        groth16.verify(back, vk, [35], CURVE)
+
+
+def test_vk_serialization_roundtrip_with_commitments(commit_setup):
+    from gnark_icicle_tpu.io.serialize import vk_to_bytes, vk_from_bytes
+
+    _, _, vk, proof = commit_setup
+    blob = vk_to_bytes(CURVE, vk)
+    back, n = vk_from_bytes(CURVE, blob)
+    assert n == len(blob)
+    assert back.nb_public == vk.nb_public
+    assert back.public_and_commitment_committed == \
+        vk.public_and_commitment_committed
+    assert len(back.commitment_keys) == 1
+    groth16.verify(proof, back, [35], CURVE)
+
+
+def test_pk_serialization_roundtrip_with_commitments(commit_setup):
+    from gnark_icicle_tpu.io.keys import pk_to_bytes, pk_from_bytes
+
+    cs, pk, vk, _ = commit_setup
+    blob = pk_to_bytes(CURVE, pk)
+    back = pk_from_bytes(CURVE, blob)
+    assert len(back.commitment_keys) == 1
+    assert back.commitment_keys[0].basis == pk.commitment_keys[0].basis
+    proof = groth16.prove(cs, back, [35], [3], CURVE, rng=random.Random(13))
+    groth16.verify(proof, vk, [35], CURVE)
+
+
+def test_r1cs_serialization_keeps_commitments():
+    from gnark_icicle_tpu.io.keys import r1cs_to_bytes, r1cs_from_bytes
+
+    cs = compile_circuit(Q, TwoCommits)
+    back = r1cs_from_bytes(r1cs_to_bytes(cs))
+    assert len(back.commitments) == 2
+    for a, b in zip(cs.commitments, back.commitments):
+        assert a.public_and_commitment_committed == \
+            list(b.public_and_commitment_committed)
+        assert a.nb_public_committed == b.nb_public_committed
+        assert a.private_committed == list(b.private_committed)
+        assert a.commitment_index == b.commitment_index
+    assert is_satisfied(back, [7], [2, 5])

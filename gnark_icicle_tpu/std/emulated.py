@@ -30,10 +30,15 @@ class EmulatedParams:
         assert self.modulus < (1 << (self.limb_bits * self.n_limbs))
 
 
-# ≙ emparams presets
+# ≙ emparams presets (std/math/emulated/emparams/emparams.go)
 SECP256K1_FP = EmulatedParams(
     "secp256k1.fp",
     0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F,
+    64, 4,
+)
+SECP256K1_FR = EmulatedParams(
+    "secp256k1.fr",
+    0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
     64, 4,
 )
 BN254_FP = EmulatedParams(
@@ -41,9 +46,19 @@ BN254_FP = EmulatedParams(
     21888242871839275222246405745257275088696311157297823662689037894645226208583,
     64, 4,
 )
+BN254_FR = EmulatedParams(
+    "bn254.fr",
+    21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    64, 4,
+)
 P256_FP = EmulatedParams(
     "p256.fp",
     0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
+    64, 4,
+)
+P256_FR = EmulatedParams(
+    "p256.fr",
+    0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
     64, 4,
 )
 
@@ -74,6 +89,26 @@ def _mulmod_hint(q, inputs):
 
 
 MULMOD = hintlib.register_hint(_mulmod_hint, "emulated.mulmod")
+
+
+def _invmod_hint(q, inputs):
+    """inputs: [x0..k-1] + static (k, w, p_limb0..k-1) — limbs of x⁻¹ mod p
+    (0 → 0, caught by the mul check)."""
+    k = (len(inputs) - 2) // 2
+    w = int(inputs[k + 1])
+    mask = (1 << w) - 1
+    p = 0
+    for i in range(k):
+        p += int(inputs[k + 2 + i]) << (w * i)
+    x = 0
+    for i in range(k):
+        x += int(inputs[i]) << (w * i)
+    x %= p
+    inv = pow(x, -1, p) if x else 0
+    return [(inv >> (w * i)) & mask for i in range(k)]
+
+
+INVMOD = hintlib.register_hint(_invmod_hint, "emulated.invmod")
 
 
 class Element:
@@ -218,6 +253,80 @@ class EmulatedField:
     def reduce(self, a: Element) -> Element:
         """a mod p (re-canonicalize after lazy adds) = mul(a, 1)."""
         return self.mul(a, self.constant(1))
+
+    def neg(self, a: Element) -> Element:
+        return self.sub(self.constant(0), a)
+
+    def mul_small(self, a: Element, c: int) -> Element:
+        """a·c for a small non-negative int constant — lazy limb scaling
+        (≙ Field.MulConst)."""
+        assert 0 <= c < (1 << 8)
+        if c == 0:
+            return self.constant(0)
+        limbs = [self.api.mul(x, c) for x in a.limbs]
+        out = Element(limbs, a.bound * c)
+        if out.bound >= (1 << (self.w + 8)):
+            return self.reduce(out)
+        return out
+
+    def select(self, cond, t: Element, f: Element) -> Element:
+        """cond ? t : f, limb-wise (≙ emulated Field.Select)."""
+        limbs = [
+            self.api.select(cond, x, y) for x, y in zip(t.limbs, f.limbs)
+        ]
+        return Element(limbs, max(t.bound, f.bound))
+
+    def inverse(self, a: Element) -> Element:
+        """a⁻¹ mod p, proving a ≠ 0 (≙ Field.Inverse: hint + a·inv == 1)."""
+        api = self.api
+        k, w = self.k, self.w
+        const_args = [k, w] + [
+            (self.p >> (w * i)) & ((1 << w) - 1) for i in range(k)
+        ]
+        inv_limbs = api.new_hint(
+            INVMOD, k, *a.limbs, static_args=tuple(const_args)
+        )
+        for v in inv_limbs:
+            api.to_binary(v, w)
+        inv = Element(inv_limbs, 1 << w)
+        prod = self.mul(a, inv)  # canonical remainder
+        one = self.constant(1)
+        for x, c in zip(prod.limbs, one.limbs):
+            api.assert_is_equal(x, c)
+        return inv
+
+    def div(self, a: Element, b: Element) -> Element:
+        """a/b, proving b ≠ 0 (≙ Field.Div)."""
+        return self.mul(a, self.inverse(b))
+
+    def is_zero(self, a: Element):
+        """Native boolean: 1 iff a ≡ 0 (mod p)."""
+        r = self.reduce(a)
+        z = self.api.is_zero(r.limbs[0])
+        for limb in r.limbs[1:]:
+            z = self.api.and_(z, self.api.is_zero(limb))
+        return z
+
+    def bits(self, a: Element):
+        """k·w little-endian bits of the canonical value (≙ Field.ToBits)."""
+        r = self.reduce(a)
+        out = []
+        for limb in r.limbs:
+            out.extend(self.api.to_binary(limb, self.w))
+        return out
+
+    def from_foreign(self, a: Element, other: "EmulatedField") -> Element:
+        """Reinterpret another field's element (same limb layout) as a value
+        mod this field's modulus — e.g. an Fp x-coordinate reduced mod the
+        curve order for ECDSA (≙ the reference's x-mod-n step,
+        std/signature/ecdsa/ecdsa.go Verify).
+
+        The element is canonicalized in ITS OWN field first: lazy limbs are
+        only congruent mod other.p, and congruence does not survive the
+        change of modulus."""
+        assert other.w == self.w and other.k == self.k
+        a = other.reduce(a)
+        return self.reduce(Element(list(a.limbs), a.bound))
 
     # -- predicates -------------------------------------------------------------
     def assert_equal(self, a: Element, b: Element):

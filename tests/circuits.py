@@ -201,6 +201,90 @@ class NegChain(Circuit):
         api.assert_is_equal(api.neg(api.neg(api.neg(self.a))), self.out)
 
 
+class Sub(Circuit):
+    """≙ circuits/sub.go."""
+
+    a = Secret()
+    b = Secret()
+    c = Public()
+
+    def define(self, api):
+        api.assert_is_equal(api.sub(self.a, self.b), self.c)
+
+
+class Exp(Circuit):
+    """x^e by square-and-multiply over e's bits (≙ circuits/exp.go and
+    examples/exponentiate)."""
+
+    x = Secret()
+    e = Secret()
+    y = Public()
+
+    N_BITS = 8
+
+    def define(self, api):
+        bits = api.to_binary(self.e, self.N_BITS)
+        acc = 1
+        for i in range(self.N_BITS - 1, -1, -1):
+            acc = api.mul(acc, acc)
+            mul = api.mul(acc, self.x)
+            acc = api.select(bits[i], mul, acc)
+        api.assert_is_equal(acc, self.y)
+
+
+class BooleanChain(Circuit):
+    """Boolean identities: ¬¬b = b, b∧¬b = 0, b∨¬b = 1 (≙ circuits/
+    boolean.go)."""
+
+    b = Secret()
+    b_out = Public()
+
+    def define(self, api):
+        api.assert_is_boolean(self.b)
+        not_b = api.sub(1, self.b)
+        api.assert_is_equal(api.and_(self.b, not_b), 0)
+        api.assert_is_equal(api.or_(self.b, not_b), 1)
+        api.assert_is_equal(api.sub(1, not_b), self.b_out)
+
+
+class NoComputation(Circuit):
+    """Inputs equated with no derived wires (≙ circuits/nocomputation.go)."""
+
+    a = Secret()
+    b = Public()
+
+    def define(self, api):
+        api.assert_is_equal(self.a, self.b)
+
+
+class OrXorAndMul(Circuit):
+    """Combined gate soup (≙ circuits/orxorandmul.go)."""
+
+    a = Secret()
+    b = Secret()
+    res = Public()
+
+    def define(self, api):
+        o = api.or_(self.a, self.b)
+        x = api.xor(self.a, self.b)
+        n = api.and_(self.a, self.b)
+        api.assert_is_equal(api.add(api.mul(o, x), n), self.res)
+
+
+class AssertEqualLinear(Circuit):
+    """Equality over linear combinations, no product gate needed
+    (≙ circuits/assertequal.go)."""
+
+    a = Secret()
+    b = Secret()
+    c = Public()
+
+    def define(self, api):
+        api.assert_is_equal(
+            api.add(self.a, self.b, self.a), api.sub(self.c, self.b)
+        )
+
+
 def _mulacc_expected(q, x, y):
     acc = 0
     for i in range(5):
@@ -257,4 +341,17 @@ def corpus(q: int):
          [dict(a=5, b=3, want=1), dict(a=3, b=5, want=q - 1),
           dict(a=4, b=4, want=0)],
          [dict(a=5, b=3, want=0)]),
+        ("sub", Sub, [dict(a=7, b=3, c=4), dict(a=0, b=1, c=q - 1)],
+         [dict(a=7, b=3, c=5)]),
+        ("exp", Exp, [dict(x=3, e=5, y=pow(3, 5, q)), dict(x=2, e=0, y=1)],
+         [dict(x=3, e=5, y=pow(3, 6, q)), dict(x=3, e=256, y=pow(3, 256, q))]),
+        ("boolean", BooleanChain, [dict(b=1, b_out=1), dict(b=0, b_out=0)],
+         [dict(b=1, b_out=0), dict(b=2, b_out=2)]),
+        ("nocomputation", NoComputation, [dict(a=9, b=9)], [dict(a=9, b=8)]),
+        ("orxorandmul", OrXorAndMul,
+         [dict(a=1, b=0, res=1), dict(a=1, b=1, res=1),
+          dict(a=0, b=0, res=0)],
+         [dict(a=1, b=0, res=0)]),
+        ("assertequal", AssertEqualLinear,
+         [dict(a=2, b=3, c=10)], [dict(a=2, b=3, c=11)]),
     ]

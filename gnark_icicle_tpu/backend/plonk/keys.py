@@ -34,6 +34,9 @@ class VerifyingKey:
     g2_gen: tuple
     g2_tau: tuple
     omega: int
+    # BSB22: rows whose Qk value is the injected commitment hash
+    # (≙ vk.CommitmentConstraintIndexes)
+    commitment_constraint_indexes: list = field(default_factory=list)
 
 
 @dataclass
@@ -50,3 +53,6 @@ class Proof:
     z_omega_eval: int
     batch_proof: tuple  # KZG proof for the folded ζ opening
     z_omega_proof: tuple  # KZG proof for Z at ωζ
+    # BSB22: KZG commitments to the per-commitment PI2 polynomials
+    # (≙ proof.Bsb22Commitments, setup.go:102)
+    bsb22_commitments: list = field(default_factory=list)

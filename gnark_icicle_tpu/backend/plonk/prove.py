@@ -35,6 +35,14 @@ EVAL_ORDER = (
 )
 
 
+def eval_order_for(nb_commitments: int) -> list:
+    """Opening order incl. the BSB22 columns (qcp_i, pi2_i per commitment) —
+    shared by prover and verifier so the fold challenge powers line up."""
+    return list(EVAL_ORDER) + [
+        x for i in range(nb_commitments) for x in (f"qcp{i}", f"pi2_{i}")
+    ]
+
+
 def _mul_zh(coeffs: list, n: int, q: int) -> list:
     """coeffs(X)·(Xⁿ−1) (blinding factors ride the vanishing polynomial)."""
     out = [0] * (len(coeffs) + n)
@@ -120,6 +128,10 @@ def _quotient_device(ctx, dom4, ev, n, beta, gamma, alpha, k1, k2, g, eta, q):
     gate = F.add(gate, F.mont_mul(F.mont_mul(ev["qm"], A), B))
     gate = F.add(gate, F.mont_mul(ev["qo"], C))
     gate = F.add(gate, ev["qk"])
+    i = 0  # BSB22 terms: Σ qcp_i · PI2_i (≙ computeNumerator's qcp loop)
+    while f"qcp{i}" in ev:
+        gate = F.add(gate, F.mont_mul(ev[f"qcp{i}"], ev[f"pi2_{i}"]))
+        i += 1
 
     lhs = F.add(F.add(A, F.mont_mul(beta_m, xs)), gamma_m)
     lhs = F.mont_mul(lhs, F.add(F.add(B, F.mont_mul(bk1, xs)), gamma_m))
@@ -166,7 +178,47 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         return dom4.coset_ntt_nat(ctx.fr_mont(padded))
 
     # ---- stage 1: solve + wire polynomials --------------------------------
-    wires, av, bv, cv = solve_scs(cs, public_values, secret_values)
+    # BSB22 override: the placeholder hint becomes a KZG commitment to the
+    # PI2 column polynomial (≙ the instance's bsb22Hint, prove.go:291-320)
+    commitment_info = cs.commitments
+    bsb22_coms = [None] * len(commitment_info)
+    pi2_coeffs = [None] * len(commitment_info)
+    commitment_vals = [None] * len(commitment_info)
+    overrides = None
+    if commitment_info:
+        from ..hash_to_field import hash_to_fr
+        from ...io.serialize import g1_to_bytes
+
+        def bsb22_override(qmod, inputs):
+            i = int(inputs[0])
+            cinfo = commitment_info[i]
+            vals = inputs[1:]
+            pi2 = [0] * n
+            for gi, vv in zip(cinfo.committed, vals):
+                pi2[gi] = vv % qmod
+            committed_set = set(cinfo.committed)
+            # blind at rows whose qcp is 0 (the commitment row + last row,
+            # ≙ prove.go:305-309)
+            pi2[cinfo.commitment_index] = rand(qmod)
+            if n - 1 not in committed_set and n - 1 != cinfo.commitment_index:
+                pi2[n - 1] = rand(qmod)
+            coeffs = evals_to_coeffs(pi2)
+            com = kzg.commit(coeffs)
+            bsb22_coms[i] = com
+            pi2_coeffs[i] = coeffs
+            val = hash_to_fr(
+                g1_to_bytes(curve, com, compressed=False),
+                b"BSB22-Plonk", qmod,
+            )[0]
+            commitment_vals[i] = val
+            return [val]
+
+        from ...constraint import hints as hintlib
+
+        overrides = {hintlib.BSB22_PLACEHOLDER: bsb22_override}
+
+    wires, av, bv, cv = solve_scs(cs, public_values, secret_values,
+                                  hint_overrides=overrides)
     av += [0] * (n - len(av))
     bv += [0] * (n - len(bv))
     cv += [0] * (n - len(cv))
@@ -213,6 +265,8 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
 
     z_coeffs = blind(evals_to_coeffs(zv), 2)
     z_com = kzg.commit(z_coeffs)
+    for cm in bsb22_coms:  # α binds the BSB22 commitments (≙ prove.go:471)
+        ts.absorb_point(curve, cm)
     ts.absorb_point(curve, z_com)
     alpha = ts.challenge(b"alpha")
 
@@ -221,6 +275,11 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     qk_full = list(cs.qc) + [0] * (n - cs.nb_gates)
     for j, pv in enumerate(public_values):
         qk_full[j] = (qk_full[j] + pv) % q
+    for i, cinfo in enumerate(commitment_info):
+        # the commitment hash enters Qk like a public input (≙ completeQk
+        # placing commitmentVal at the commitment row, prove.go:381-383)
+        ci = cinfo.commitment_index
+        qk_full[ci] = (qk_full[ci] + commitment_vals[i]) % q
     qk_full_coeffs = evals_to_coeffs(qk_full)
 
     zw_coeffs = [c * pow(omega, i, q) % q for i, c in enumerate(z_coeffs)]
@@ -236,6 +295,9 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     }
     for name in ("ql", "qr", "qm", "qo", "s1", "s2", "s3"):
         ev[name] = coset4_evals_dev(pk.trace_coeffs[name])
+    for i in range(len(commitment_info)):
+        ev[f"qcp{i}"] = coset4_evals_dev(pk.trace_coeffs[f"qcp{i}"])
+        ev[f"pi2_{i}"] = coset4_evals_dev(pi2_coeffs[i])
 
     t_mont = _quotient_device(
         ctx, dom4, ev, n, beta, gamma, alpha, k1, k2,
@@ -269,10 +331,14 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         "qk": pk.trace_coeffs["qk"],  # committed Qk (no PI)
         "t1": t1, "t2": t2, "t3": t3,
     }
-    evals = {name: _eval_poly(polys[name], zeta, q) for name in EVAL_ORDER}
+    for i in range(len(commitment_info)):
+        polys[f"qcp{i}"] = pk.trace_coeffs[f"qcp{i}"]
+        polys[f"pi2_{i}"] = pi2_coeffs[i]
+    order = eval_order_for(len(commitment_info))
+    evals = {name: _eval_poly(polys[name], zeta, q) for name in order}
     z_omega_eval = _eval_poly(z_coeffs, zeta * omega % q, q)
 
-    for name in EVAL_ORDER:
+    for name in order:
         ts.absorb_fr(evals[name])
     ts.absorb_fr(z_omega_eval)
     v = ts.challenge(b"v")
@@ -280,7 +346,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     # fold Σ vⁱ·P_i and open once at ζ
     folded = []
     vi = 1
-    for name in EVAL_ORDER:
+    for name in order:
         folded = _add_poly(folded, [c * vi % q for c in polys[name]], q)
         vi = vi * v % q
     _, batch_proof = kzg.open(folded, zeta)
@@ -290,4 +356,5 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         a_com=a_com, b_com=b_com, c_com=c_com, z_com=z_com, t_coms=t_coms,
         evals=evals, z_omega_eval=z_omega_eval,
         batch_proof=batch_proof, z_omega_proof=z_omega_proof,
+        bsb22_commitments=bsb22_coms,
     )

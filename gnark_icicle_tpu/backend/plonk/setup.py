@@ -84,6 +84,12 @@ def setup(cs: SparseR1CS, curve, srs: SRS | None = None, rng=None,
         "ql": pad(cs.ql), "qr": pad(cs.qr), "qm": pad(cs.qm),
         "qo": pad(cs.qo), "qk": pad(cs.qc),
     }
+    # BSB22 Qcp columns: 1 at each COMMITTED row (≙ setup.go:193-201)
+    for i, cinfo in enumerate(cs.commitments):
+        col = [0] * n
+        for gi in cinfo.committed:
+            col[gi] = 1
+        cols[f"qcp{i}"] = col
 
     # σ columns as field elements: position p -> coset tag · ω^(p mod n)
     omega_pows = [1] * n
@@ -119,5 +125,8 @@ def setup(cs: SparseR1CS, curve, srs: SRS | None = None, rng=None,
         commitments=commitments, log_n=log_n, k1=k1, k2=k2,
         nb_public=cs.nb_public, g2_gen=srs.g2_gen, g2_tau=srs.g2_tau,
         omega=omega,
+        commitment_constraint_indexes=[
+            c.commitment_index for c in cs.commitments
+        ],  # ≙ vk.CommitmentConstraintIndexes (setup.go:93)
     )
     return pk, vk

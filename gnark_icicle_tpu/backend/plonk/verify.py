@@ -12,7 +12,7 @@ from __future__ import annotations
 from ..kzg import KZG, SRS
 from ..transcript import Transcript
 from .keys import VerifyingKey, Proof
-from .prove import EVAL_ORDER
+from .prove import eval_order_for
 
 
 class PlonkVerificationError(Exception):
@@ -28,6 +28,10 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
     n = 1 << vk.log_n
     omega = vk.omega
     k1, k2 = vk.k1, vk.k2
+    nb_commitments = len(vk.commitment_constraint_indexes)
+    if len(proof.bsb22_commitments) != nb_commitments:
+        raise PlonkVerificationError("wrong number of BSB22 commitments")
+    order = eval_order_for(nb_commitments)
 
     # ---- replay the transcript --------------------------------------------
     ts = Transcript(q)
@@ -37,12 +41,14 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
         ts.absorb_point(curve, cm)
     beta = ts.challenge(b"beta")
     gamma = ts.challenge(b"gamma")
+    for cm in proof.bsb22_commitments:
+        ts.absorb_point(curve, cm)
     ts.absorb_point(curve, proof.z_com)
     alpha = ts.challenge(b"alpha")
     for cm in proof.t_coms:
         ts.absorb_point(curve, cm)
     zeta = ts.challenge(b"zeta")
-    for name in EVAL_ORDER:
+    for name in order:
         ts.absorb_fr(proof.evals[name])
     ts.absorb_fr(proof.z_omega_eval)
     v_ch = ts.challenge(b"v")
@@ -53,18 +59,35 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
         raise PlonkVerificationError("zeta landed in the domain")
 
     # PI(ζ) = Σ pub_j · L_j(ζ),  L_j(ζ) = ω^j (ζⁿ−1) / (n (ζ−ω^j))
+    def lagrange_at(j: int) -> int:
+        wj = pow(omega, j, q)
+        return wj * zh_zeta % q * pow(n * (zeta - wj) % q, -1, q) % q
+
     pi = 0
-    wj = 1
-    for pv in public_values:
-        lj = wj * zh_zeta % q * pow(n * (zeta - wj) % q, -1, q) % q
-        pi = (pi + pv * lj) % q
-        wj = wj * omega % q
+    for j, pv in enumerate(public_values):
+        pi = (pi + pv * lagrange_at(j)) % q
+    # BSB22: re-derive each commitment's Qk injection from its commitment
+    # point and add it like a public input (≙ verify.go's commitment wire
+    # solving with DST "BSB22-Plonk")
+    if nb_commitments:
+        from ..hash_to_field import hash_to_fr
+        from ...io.serialize import g1_to_bytes
+
+        for i, ci in enumerate(vk.commitment_constraint_indexes):
+            val = hash_to_fr(
+                g1_to_bytes(curve, proof.bsb22_commitments[i],
+                            compressed=False),
+                b"BSB22-Plonk", q,
+            )[0]
+            pi = (pi + val * lagrange_at(ci)) % q
     l1_zeta = zh_zeta * pow(n * (zeta - 1) % q, -1, q) % q
 
     gate = (
         e["ql"] * e["a"] + e["qr"] * e["b"] + e["qm"] * e["a"] * e["b"]
         + e["qo"] * e["c"] + e["qk"] + pi
     ) % q
+    for i in range(nb_commitments):  # Σ qcp_i(ζ)·PI2_i(ζ)
+        gate = (gate + e[f"qcp{i}"] * e[f"pi2_{i}"]) % q
     lhs = (e["a"] + beta * zeta + gamma) % q
     lhs = lhs * ((e["b"] + beta * k1 % q * zeta + gamma) % q) % q
     lhs = lhs * ((e["c"] + beta * k2 % q * zeta + gamma) % q) % q
@@ -98,11 +121,14 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
         "qk": vk.commitments["qk"],
         "t1": proof.t_coms[0], "t2": proof.t_coms[1], "t3": proof.t_coms[2],
     }
+    for i in range(nb_commitments):
+        commitments[f"qcp{i}"] = vk.commitments[f"qcp{i}"]
+        commitments[f"pi2_{i}"] = proof.bsb22_commitments[i]
     g1 = curve.g1
     fold_c = None
     fold_v = 0
     vi = 1
-    for name in EVAL_ORDER:
+    for name in order:
         fold_c = g1.add(fold_c, g1.scalar_mul(commitments[name], vi))
         fold_v = (fold_v + vi * e[name]) % q
         vi = vi * v_ch % q

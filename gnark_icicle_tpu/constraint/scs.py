@@ -21,6 +21,22 @@ from dataclasses import dataclass
 INSTR_GATE = 0
 INSTR_HINT = 1
 
+# commitment gate tags (≙ constraint.CommitmentConstraint,
+# constraint/r1cs_sparse.go:135-139)
+COMMIT_NOT = 0
+COMMIT_COMMITTED = 1   # row binds a committed wire to the PI2 column
+COMMIT_COMMITMENT = 2  # row binds the commitment wire to the injected Qk
+
+
+@dataclass
+class PlonkCommitment:
+    """≙ constraint.PlonkCommitment (constraint/commitment.go:16-19):
+    committed = gate indices of the COMMITTED rows, commitment_index = the
+    COMMITMENT row's gate index."""
+
+    committed: list
+    commitment_index: int
+
 
 @dataclass
 class SparseHint:
@@ -53,6 +69,9 @@ class SparseR1CS:
         self.solved_wire: list[int] = []
         self.instructions: list[tuple] = []
         self.hints: list[SparseHint] = []
+        # BSB22: gate idx -> COMMIT_* tag; commitment descriptors
+        self.commitment_tags: dict[int, int] = {}
+        self.commitments: list[PlonkCommitment] = []
 
     @property
     def nb_gates(self) -> int:
@@ -116,7 +135,7 @@ class SparseUnsatisfiedError(Exception):
 
 
 def solve_scs(cs: SparseR1CS, public_values, secret_values,
-              native: str | bool = "auto"):
+              native: str | bool = "auto", hint_overrides=None):
     """Wire assignment + per-gate (a, b, c) wire-value vectors.
 
     ≙ the generated SCS solver (constraint/bn254/solver.go instantiated for
@@ -129,7 +148,8 @@ def solve_scs(cs: SparseR1CS, public_values, secret_values,
     if native is True:
         from ..native import solve_scs_native
 
-        res = solve_scs_native(cs, public_values, secret_values)
+        res = solve_scs_native(cs, public_values, secret_values,
+                               hint_overrides=hint_overrides)
         if res is not None:
             return res
     from .hints import get_hint, hint_name
@@ -168,7 +188,8 @@ def solve_scs(cs: SparseR1CS, public_values, secret_values,
                     s += coeff * v
                 ins.append(s % q)
             ins.extend(h.static_args)
-            outs = get_hint(h.hint_id)(q, ins)
+            fn = (hint_overrides or {}).get(h.hint_id) or get_hint(h.hint_id)
+            outs = fn(q, ins)
             if len(outs) != len(h.outputs):
                 raise SparseUnsatisfiedError(
                     f"hint {hint_name(h.hint_id)} arity mismatch"
@@ -220,8 +241,12 @@ def solve_scs(cs: SparseR1CS, public_values, secret_values,
         va, vb, vc = wires[wa], wires[wb], wires[wc]
         if va is None or vb is None or vc is None:
             raise SparseUnsatisfiedError(f"gate {j}: unsolved wire used")
-        if (ql * va + qr * vb + qm * va * vb + qo * vc + qc) % q != 0:
-            raise SparseUnsatisfiedError(f"gate {j} unsatisfied")
+        if cs.commitment_tags.get(j, COMMIT_NOT) == COMMIT_NOT:
+            # commitment rows balance against the PI2/injected-Qk columns the
+            # solver cannot see — skipped like the reference
+            # (constraint/blueprint_scs.go:56-60)
+            if (ql * va + qr * vb + qm * va * vb + qo * vc + qc) % q != 0:
+                raise SparseUnsatisfiedError(f"gate {j} unsatisfied")
         a[j], b[j], c[j] = va, vb, vc
 
     for w in range(len(wires)):

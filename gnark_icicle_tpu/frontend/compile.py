@@ -155,4 +155,26 @@ def compile_circuit(modulus: int, circuit_cls, builder: str = "r1cs", **kwargs):
             setattr(inst, decl.name, decl.pack(leaves))
 
     inst.define(builder)
+    _run_deferred(builder)
     return builder.cs
+
+
+def _run_deferred(api):
+    """Run deferred gadget finalizers (≙ callDeferred, frontend/compile.go:133
+    and internal/circuitdefer). Callbacks may defer more callbacks."""
+    pending = getattr(api, "_deferred", None)
+    if not pending:
+        return
+    i = 0
+    while i < len(pending):
+        pending[i](api)
+        i += 1
+    pending.clear()
+
+
+def defer_circuit(api, cb):
+    """Register cb(api) to run after define returns (≙ api.Defer /
+    circuitdefer.Put). Works on builders and the test engine."""
+    if not hasattr(api, "_deferred"):
+        api._deferred = []
+    api._deferred.append(cb)

@@ -180,3 +180,6 @@ def check_solved(circuit, modulus: int) -> None:
             raise ValueError(f"input {decl.name!r} not assigned")
         setattr(inst, decl.name, v)
     inst.define(eng)
+    from .compile import _run_deferred
+
+    _run_deferred(eng)

@@ -315,5 +315,39 @@ class ScsBuilder:
         self.cs.add_hint(hid, in_exprs, out_wids, static_args=static_args)
         return [SVar(1, w) for w in out_wids]
 
+    def commit(self, *vs):
+        """BSB22 commitment in PLONK form (≙ scs builder Commit,
+        frontend/cs/scs/api.go): one COMMITTED row per committed variable
+        binding it to the prover's PI2 column, one COMMITMENT row binding
+        the hint output to the injected Qk value.
+        """
+        from ..constraint.scs import (
+            PlonkCommitment, COMMIT_COMMITTED, COMMIT_COMMITMENT,
+        )
+
+        vars_ = [v for v in vs if isinstance(v, SVar)]  # ≙ filterConstants
+        if not vars_:
+            raise ValueError("must commit to at least one variable")
+        committed = []
+        for v in vars_:
+            # row: −v + PI2 = 0 (PI2 supplied by the prover's committed poly)
+            gi = self.cs.add_gate(v.wire, v.wire, v.wire,
+                                  ql=-v.coeff % self.q, qr=0, qm=0, qo=0,
+                                  qc=0)
+            self.cs.commitment_tags[gi] = COMMIT_COMMITTED
+            committed.append(gi)
+        depth = len(self.cs.commitments)
+        (out,) = self.new_hint(
+            hintlib.BSB22_PLACEHOLDER, 1, depth, *vars_
+        )
+        # row: −c + commitmentValue(Qk-injected) = 0
+        ci = self.cs.add_gate(out.wire, out.wire, out.wire,
+                              ql=-1 % self.q, qr=0, qm=0, qo=0, qc=0)
+        self.cs.commitment_tags[ci] = COMMIT_COMMITMENT
+        self.cs.commitments.append(
+            PlonkCommitment(committed=committed, commitment_index=ci)
+        )
+        return out
+
     def println(self, *args):
         pass

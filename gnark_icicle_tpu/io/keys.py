@@ -281,6 +281,14 @@ def scs_to_bytes(cs: SparseR1CS) -> bytes:
     out += _pack_ints([k for k, _ in cs.instructions])
     out += _pack_ints([i for _, i in cs.instructions])
     out += _pack_hints(cs.hints)
+    # BSB22 commitment rows (tags + descriptors)
+    out += struct.pack(">I", len(cs.commitments))
+    for c in cs.commitments:
+        out += struct.pack(">I", c.commitment_index)
+        out += _pack_ints(c.committed)
+    tags = sorted(cs.commitment_tags.items())
+    out += _pack_ints([g for g, _ in tags])
+    out += _pack_ints([t for _, t in tags])
     return bytes(out)
 
 
@@ -312,6 +320,23 @@ def scs_from_bytes(data: bytes) -> SparseR1CS:
     idxs, off = _unpack_ints(data, off)
     cs.instructions = list(zip(kinds, idxs))
     cs.hints, off = _unpack_hints(data, off, SparseHint)
+    if off < len(data):
+        from ..constraint.scs import PlonkCommitment
+
+        (nb_c,) = struct.unpack_from(">I", data, off)
+        off += 4
+        for _ in range(nb_c):
+            (ci,) = struct.unpack_from(">I", data, off)
+            off += 4
+            committed, off = _unpack_ints(data, off)
+            cs.commitments.append(PlonkCommitment(
+                committed=list(committed), commitment_index=int(ci)
+            ))
+        tag_gates, off = _unpack_ints(data, off)
+        tag_vals, off = _unpack_ints(data, off)
+        cs.commitment_tags = {
+            int(g): int(t) for g, t in zip(tag_gates, tag_vals)
+        }
     cs.public_names = [f"pub{i}" for i in range(cs.nb_public)]
     cs.secret_names = [f"sec{i}" for i in range(cs.nb_secret)]
     return cs

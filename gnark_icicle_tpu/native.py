@@ -123,7 +123,7 @@ class NativeField:
         return x * self.Rinv % self.q
 
 
-def solve_scs_native(cs, public_values, secret_values):
+def solve_scs_native(cs, public_values, secret_values, hint_overrides=None):
     """Native-core SCS solve; same contract as constraint.scs.solve_scs.
 
     Returns None when the native library is unavailable.
@@ -204,9 +204,15 @@ def solve_scs_native(cs, public_values, secret_values):
         return nf.from_mont_int(x)
 
     pending: list = []
+    tagged: list = []
     for kind, idx in cs.instructions:
         if kind == INSTR_GATE:
-            pending.append(idx)
+            # commitment rows balance against prover-side columns the C++
+            # core cannot see; fill their a/b/c from wires afterwards
+            if cs.commitment_tags.get(idx):
+                tagged.append(idx)
+            else:
+                pending.append(idx)
             continue
         if pending:
             run(pending)
@@ -223,7 +229,8 @@ def solve_scs_native(cs, public_values, secret_values):
                 s += coeff * wire_val(wid)
             ins.append(s % q)
         ins.extend(h.static_args)
-        outs = get_hint(h.hint_id)(q, ins)
+        fn = (hint_overrides or {}).get(h.hint_id) or get_hint(h.hint_id)
+        outs = fn(q, ins)
         if len(outs) != len(h.outputs):
             raise SparseUnsatisfiedError(
                 f"hint {hint_name(h.hint_id)} arity mismatch"
@@ -236,6 +243,10 @@ def solve_scs_native(cs, public_values, secret_values):
         run(pending)
 
     wires[assigned == 0] = 0
+    for j in tagged:
+        abc[0, j] = wires[cs.xa[j]]
+        abc[1, j] = wires[cs.xb[j]]
+        abc[2, j] = wires[cs.xc[j]]
     lib.from_mont_batch(
         ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
         ptr(wires, ctypes.c_uint64), nw,

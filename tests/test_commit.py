@@ -193,6 +193,87 @@ def test_pk_serialization_roundtrip_with_commitments(commit_setup):
     groth16.verify(proof, vk, [35], CURVE)
 
 
+# ---------------------------------------------------------------------------
+# PLONK BSB22 (≙ the reference's PLONK commitment path: Qcp columns,
+# prover PI2 commitment, verifier Qk injection)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def plonk_commit_setup():
+    from gnark_icicle_tpu.backend import plonk
+
+    cs = compile_circuit(Q, CommitCubic, builder="scs")
+    pk, vk = plonk.setup(cs, CURVE, rng=random.Random(21))
+    proof = plonk.prove(cs, pk, [35], [3], CURVE, rng=random.Random(22))
+    return cs, pk, vk, proof
+
+
+def test_plonk_commitment_structure():
+    cs = compile_circuit(Q, CommitCubic, builder="scs")
+    assert len(cs.commitments) == 1
+    c = cs.commitments[0]
+    assert len(c.committed) == 2  # x and y enter as committed rows
+    assert c.commitment_index > max(c.committed)
+    assert cs.commitment_tags[c.commitment_index] == 2
+    for gi in c.committed:
+        assert cs.commitment_tags[gi] == 1
+    # solver-only path accepts valid, rejects invalid
+    from gnark_icicle_tpu.constraint.scs import solve_scs, SparseUnsatisfiedError
+
+    solve_scs(cs, [35], [3])
+    with pytest.raises(SparseUnsatisfiedError):
+        solve_scs(cs, [36], [3])
+
+
+def test_plonk_prove_verify_with_commitment(plonk_commit_setup):
+    from gnark_icicle_tpu.backend import plonk
+
+    _, _, vk, proof = plonk_commit_setup
+    assert len(proof.bsb22_commitments) == 1
+    plonk.verify(proof, vk, [35], CURVE)
+
+
+def test_plonk_forged_bsb22_rejected(plonk_commit_setup):
+    from gnark_icicle_tpu.backend import plonk
+    from dataclasses import replace
+
+    _, _, vk, proof = plonk_commit_setup
+    bad = replace(proof, bsb22_commitments=[CURVE.g1.generator])
+    assert not plonk.is_valid(bad, vk, [35], CURVE)
+    stripped = replace(proof, bsb22_commitments=[])
+    assert not plonk.is_valid(stripped, vk, [35], CURVE)
+
+
+def test_plonk_proof_vk_roundtrip_with_commitments(plonk_commit_setup):
+    from gnark_icicle_tpu.backend import plonk
+    from gnark_icicle_tpu.io.plonk_serialize import (
+        plonk_proof_to_bytes, plonk_proof_from_bytes,
+        plonk_vk_to_bytes, plonk_vk_from_bytes,
+    )
+
+    _, _, vk, proof = plonk_commit_setup
+    p2, n = plonk_proof_from_bytes(
+        CURVE, plonk_proof_to_bytes(CURVE, proof)
+    )
+    assert p2.bsb22_commitments == proof.bsb22_commitments
+    v2, _ = plonk_vk_from_bytes(CURVE, plonk_vk_to_bytes(CURVE, vk))
+    assert v2.commitment_constraint_indexes == \
+        vk.commitment_constraint_indexes
+    plonk.verify(p2, v2, [35], CURVE)
+
+
+def test_scs_serialization_keeps_commitments():
+    from gnark_icicle_tpu.io.keys import scs_to_bytes, scs_from_bytes
+    from gnark_icicle_tpu.constraint.scs import solve_scs
+
+    cs = compile_circuit(Q, CommitCubic, builder="scs")
+    back = scs_from_bytes(scs_to_bytes(cs))
+    assert len(back.commitments) == 1
+    assert back.commitments[0].committed == cs.commitments[0].committed
+    assert back.commitment_tags == cs.commitment_tags
+    solve_scs(back, [35], [3])
+
+
 def test_r1cs_serialization_keeps_commitments():
     from gnark_icicle_tpu.io.keys import r1cs_to_bytes, r1cs_from_bytes
 

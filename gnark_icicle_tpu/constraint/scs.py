@@ -72,6 +72,8 @@ class SparseR1CS:
         # BSB22: gate idx -> COMMIT_* tag; commitment descriptors
         self.commitment_tags: dict[int, int] = {}
         self.commitments: list[PlonkCommitment] = []
+        # optional per-gate source info (debug mode, ≙ -tags=debug)
+        self.gate_origins: list = []
 
     @property
     def nb_gates(self) -> int:
@@ -104,6 +106,11 @@ class SparseR1CS:
 
         if _profile.is_profiling():
             _profile.record_constraint()
+        from .. import debug as _debug
+
+        self.gate_origins.append(
+            _debug.capture_stack() if _debug.is_debug() else None
+        )
         q = self.q
         self.xa.append(xa)
         self.xb.append(xb)
@@ -246,7 +253,10 @@ def solve_scs(cs: SparseR1CS, public_values, secret_values,
             # solver cannot see — skipped like the reference
             # (constraint/blueprint_scs.go:56-60)
             if (ql * va + qr * vb + qm * va * vb + qo * vc + qc) % q != 0:
-                raise SparseUnsatisfiedError(f"gate {j} unsatisfied")
+                origin = (cs.gate_origins[j]
+                          if j < len(cs.gate_origins) else None)
+                where = f" (at {origin})" if origin else ""
+                raise SparseUnsatisfiedError(f"gate {j} unsatisfied{where}")
         a[j], b[j], c[j] = va, vb, vc
 
     for w in range(len(wires)):

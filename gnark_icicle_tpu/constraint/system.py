@@ -148,6 +148,11 @@ class R1CS:
 
         if _profile.is_profiling():  # ≙ profile.RecordConstraint (core.go:348)
             _profile.record_constraint()
+        if origin is None:
+            from .. import debug as _debug
+
+            if _debug.is_debug():  # ≙ -tags=debug stack capture
+                origin = _debug.capture_stack()
         base = len(self.term_coeff)
         self.l_off.append(base)
         for cid, wid in l_terms:

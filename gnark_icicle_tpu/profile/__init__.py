@@ -65,3 +65,43 @@ def record_constraint(n: int = 1):
 
 def is_profiling() -> bool:
     return bool(_ACTIVE)
+
+
+# ---------------------------------------------------------------------------
+# device-kernel tracing (≙ the reference's zerolog Dur("took") prover timing,
+# upgraded to real jax profiler traces for kernel-level inspection)
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax profiler trace around a prover region.
+
+    Usage::
+
+        with profile.device_trace("/tmp/trace"):
+            groth16.prove(...)
+
+    The trace opens in TensorBoard / Perfetto and shows every XLA kernel the
+    prover dispatched (MSM waves, NTT stages, elementwise passes) with
+    durations — the TPU analog of the reference's per-stage Dur logs
+    (backend/groth16/bn254/prove.go:322) at kernel granularity.
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named region inside a device trace (≙ jax.profiler.TraceAnnotation)."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield

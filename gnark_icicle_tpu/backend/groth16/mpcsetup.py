@@ -10,19 +10,73 @@ continuity with pairing checks; phase 2 does the same for delta. The
 final key matches what a single honest dealer with the combined randomness
 would produce — test-asserted by verifying proofs made with the MPC key.
 
-Contribution soundness note: continuity proofs here are the pairing-ratio
-checks; the reference additionally binds contributions to a transcript hash
-with a Schnorr-style proof-of-knowledge (phase1.go PublicKey) — that
-hash-binding layer is TODO and documented as such.
+Contribution binding: each contribution carries BGM17 public keys
+(SG = s·G₁, SXG = s·x·G₁, XR = x·R with R = HashToG2(SG ‖ SXG ‖
+transcript-hash, dst)) exactly like the reference (utils.go newPublicKey/
+genR, phase1.go:97-99); verification recomputes R from the PREVIOUS
+accumulator's hash so a contribution cannot be replayed against another
+transcript, then checks the knowledge pairing e(SG, XR) == e(SXG, R) and
+the accumulator-continuity ratios (phase1.go:135-196).
 """
 
 from __future__ import annotations
 
+import hashlib
 import secrets
 from dataclasses import dataclass, field
 
 from .keys import ProvingKey, VerifyingKey
 from .setup import qap_evaluations  # noqa: F401 (phase-2 math reference)
+
+
+def _same_ratio(curve, a1, b1, a2, b2) -> bool:
+    """e(a1, a2) == e(b1, b2) (≙ mpcsetup utils.go:105 sameRatio)."""
+    from ...curves.tower import Fp12
+
+    return curve.miller_and_final_exp(
+        [a1, b1], [curve.g2.neg(a2), b2]
+    ) == Fp12.one(curve.tower)
+
+
+@dataclass
+class ContributionPublicKey:
+    """≙ mpcsetup.PublicKey (utils.go:31-35): the BGM17 knowledge proof."""
+
+    sg: tuple    # s·G₁
+    sxg: tuple   # s·x·G₁
+    xr: tuple    # x·R (G₂)
+
+
+def _new_public_key(curve, x: int, challenge: bytes, dst: int,
+                    rng=None) -> ContributionPublicKey:
+    """≙ newPublicKey (utils.go:37-58)."""
+    q = curve.fr.modulus
+    s = _rand(q, rng)
+    sg = curve.g1.scalar_mul(curve.g1.generator, s)
+    sxg = curve.g1.scalar_mul(sg, x)
+    r_pt = _gen_r(curve, sg, sxg, challenge, dst)
+    return ContributionPublicKey(
+        sg=sg, sxg=sxg, xr=curve.g2.scalar_mul(r_pt, x)
+    )
+
+
+def _gen_r(curve, sg, sxg, challenge: bytes, dst: int):
+    """R = HashToG2(sG₁ ‖ sxG₁ ‖ challenge, dst) (≙ genR, utils.go:159)."""
+    from ...curves.hash_to_g2 import hash_to_g2
+    from ...io.serialize import g1_to_bytes
+
+    msg = (g1_to_bytes(curve, sg, compressed=False)
+           + g1_to_bytes(curve, sxg, compressed=False) + challenge)
+    return hash_to_g2(curve, msg, bytes([dst]))
+
+
+def _verify_pk(curve, pk: ContributionPublicKey, challenge: bytes,
+               dst: int) -> tuple:
+    """Check the knowledge pairing; returns R for continuity checks."""
+    r_pt = _gen_r(curve, pk.sg, pk.sxg, challenge, dst)
+    if not _same_ratio(curve, pk.sg, pk.sxg, pk.xr, r_pt):
+        raise ValueError(f"contribution public key invalid (dst {dst})")
+    return r_pt
 
 
 def _rand(q, rng=None):
@@ -58,20 +112,37 @@ class Phase1:
             beta_g2=g2,
         )
 
+    def state_hash(self) -> bytes:
+        """sha256 of the serialized accumulator (≙ phase1.hash())."""
+        from ...io.serialize import g1_to_bytes, g2_to_bytes
+
+        c = self.curve
+        h = hashlib.sha256()
+        for pt in self.tau_g1 + self.alpha_tau_g1 + self.beta_tau_g1:
+            h.update(g1_to_bytes(c, pt, compressed=True))
+        for pt in self.tau_g2 + [self.beta_g2]:
+            h.update(g2_to_bytes(c, pt, compressed=True))
+        return h.digest()
+
     def contribute(self, rng=None) -> None:
-        """Multiply in fresh (Δτ, Δα, Δβ); record the continuity witness."""
+        """Multiply in fresh (Δτ, Δα, Δβ) with transcript-bound knowledge
+        proofs (≙ Phase1.Contribute, phase1.go:89-122)."""
         c = self.curve
         q = c.fr.modulus
         dt, da, db = _rand(q, rng), _rand(q, rng), _rand(q, rng)
-        # continuity witness: previous [τ]₁ and the deltas in both groups
+        challenge = self.state_hash()  # previous accumulator binds the pks
         witness = {
-            "prev_tau_g1": self.tau_g1[1],
-            "dtau_g1": c.g1.scalar_mul(c.g1.generator, dt),
-            "dtau_g2": c.g2.scalar_mul(c.g2.generator, dt),
-            "dalpha_g1": c.g1.scalar_mul(c.g1.generator, da),
-            "dalpha_g2": c.g2.scalar_mul(c.g2.generator, da),
-            "dbeta_g1": c.g1.scalar_mul(c.g1.generator, db),
-            "dbeta_g2": c.g2.scalar_mul(c.g2.generator, db),
+            "challenge": challenge,
+            "prev": {
+                "tau_g1_1": self.tau_g1[1],
+                "alpha_0": self.alpha_tau_g1[0],
+                "beta_0": self.beta_tau_g1[0],
+                "tau_g2_1": self.tau_g2[1],
+                "beta_g2": self.beta_g2,
+            },
+            "pk_tau": _new_public_key(c, dt, challenge, 1, rng),
+            "pk_alpha": _new_public_key(c, da, challenge, 2, rng),
+            "pk_beta": _new_public_key(c, db, challenge, 3, rng),
         }
         pw = 1
         powers = []
@@ -91,6 +162,7 @@ class Phase1:
             for i, p in enumerate(self.beta_tau_g1)
         ]
         self.beta_g2 = c.g2.scalar_mul(self.beta_g2, db)
+        witness["post_hash"] = self.state_hash()
         self.contributions.append(witness)
 
     def verify(self) -> None:
@@ -117,14 +189,51 @@ class Phase1:
         # beta_g2 matches beta_tau_g1[0]
         if e([self.beta_tau_g1[0]], [g2]) != e([g1], [self.beta_g2]):
             raise ValueError("beta_g2 mismatch")
-        # continuity: each contribution's deltas are internally consistent
-        for w in self.contributions:
-            if e([w["dtau_g1"]], [g2]) != e([g1], [w["dtau_g2"]]):
-                raise ValueError("contribution delta-tau POK fails")
-            if e([w["dalpha_g1"]], [g2]) != e([g1], [w["dalpha_g2"]]):
-                raise ValueError("contribution delta-alpha POK fails")
-            if e([w["dbeta_g1"]], [g2]) != e([g1], [w["dbeta_g2"]]):
-                raise ValueError("contribution delta-beta POK fails")
+        # transcript-bound knowledge-proof chain (≙ verifyPhase1,
+        # phase1.go:135-196): each contribution's public keys must verify
+        # against the PREVIOUS accumulator hash, and the accumulated
+        # tau/alpha/beta must be exactly the previous values scaled by the
+        # proven exponents. The chain's first challenge is recomputed from
+        # the deterministic initial state and its last post-hash from the
+        # final accumulator, pinning both ends.
+        expected = Phase1.init(c, self.n).state_hash()
+        n_contrib = len(self.contributions)
+        for ci, w in enumerate(self.contributions):
+            if w["challenge"] != expected:
+                raise ValueError(f"contribution {ci}: broken transcript chain")
+            ch = w["challenge"]
+            r_tau = _verify_pk(c, w["pk_tau"], ch, 1)
+            r_alpha = _verify_pk(c, w["pk_alpha"], ch, 2)
+            r_beta = _verify_pk(c, w["pk_beta"], ch, 3)
+            post = (self.contributions[ci + 1]["prev"]
+                    if ci + 1 < n_contrib else {
+                        "tau_g1_1": self.tau_g1[1],
+                        "alpha_0": self.alpha_tau_g1[0],
+                        "beta_0": self.beta_tau_g1[0],
+                        "tau_g2_1": self.tau_g2[1],
+                        "beta_g2": self.beta_g2,
+                    })
+            prev = w["prev"]
+            checks = [
+                (post["tau_g1_1"], prev["tau_g1_1"], r_tau,
+                 w["pk_tau"].xr, "tau update"),
+                (post["alpha_0"], prev["alpha_0"], r_alpha,
+                 w["pk_alpha"].xr, "alpha update"),
+                (post["beta_0"], prev["beta_0"], r_beta,
+                 w["pk_beta"].xr, "beta update"),
+                (w["pk_tau"].sg, w["pk_tau"].sxg,
+                 post["tau_g2_1"], prev["tau_g2_1"], "tau2 update"),
+                (w["pk_beta"].sg, w["pk_beta"].sxg,
+                 post["beta_g2"], prev["beta_g2"], "beta2 update"),
+            ]
+            for a1, b1, a2, b2, what in checks:
+                if not _same_ratio(c, a1, b1, a2, b2):
+                    raise ValueError(f"contribution {ci}: {what} not based "
+                                     "on previous state")
+            expected = w["post_hash"]
+        if n_contrib and expected != self.state_hash():
+            raise ValueError("final accumulator does not match the "
+                             "transcript chain")
 
 
 def _ifft_g1(curve, points, omega_inv: int, n: int):
@@ -288,13 +397,33 @@ class Phase2:
         return cls(curve=c, pk=pk, vk=vk,
                    delta_g1=g1.generator, delta_g2=g2.generator)
 
+    def state_hash(self) -> bytes:
+        """sha256 over the δ-bearing state (≙ phase2.hash())."""
+        from ...io.serialize import g1_to_bytes, g2_to_bytes
+
+        c = self.curve
+        h = hashlib.sha256()
+        h.update(g1_to_bytes(c, self.delta_g1, compressed=True))
+        h.update(g2_to_bytes(c, self.delta_g2, compressed=True))
+        for pt in self.pk.g1_z + self.pk.g1_k:
+            h.update(g1_to_bytes(c, pt, compressed=True))
+        return h.digest()
+
     def contribute(self, rng=None) -> None:
-        """Multiply δ in (≙ Phase2.Contribute): scales δ up, Z and K down."""
+        """Multiply δ in (≙ Phase2.Contribute): scales δ up, Z and K down;
+        records a transcript-bound knowledge proof for Δδ."""
         c = self.curve
         q = c.fr.modulus
         g1, g2 = c.g1, c.g2
         dd = _rand(q, rng)
         dd_inv = pow(dd, -1, q)
+        challenge = self.state_hash()
+        witness = {
+            "challenge": challenge,
+            "prev_delta_g1": self.delta_g1,
+            "prev_delta_g2": self.delta_g2,
+            "pk_delta": _new_public_key(c, dd, challenge, 1, rng),
+        }
         self.delta_g1 = g1.scalar_mul(self.delta_g1, dd)
         self.delta_g2 = g2.scalar_mul(self.delta_g2, dd)
         self.pk.g1_delta = self.delta_g1
@@ -302,10 +431,8 @@ class Phase2:
         self.vk.g2_delta = self.delta_g2
         self.pk.g1_z = [g1.scalar_mul(p, dd_inv) for p in self.pk.g1_z]
         self.pk.g1_k = [g1.scalar_mul(p, dd_inv) for p in self.pk.g1_k]
-        self.contributions.append({
-            "ddelta_g1": g1.scalar_mul(g1.generator, dd),
-            "ddelta_g2": g2.scalar_mul(g2.generator, dd),
-        })
+        witness["post_hash"] = self.state_hash()
+        self.contributions.append(witness)
         self.pk._device = {}  # invalidate any device staging
 
     def verify(self) -> None:
@@ -314,9 +441,20 @@ class Phase2:
         g1, g2 = c.g1.generator, c.g2.generator
         if e([self.delta_g1], [g2]) != e([g1], [self.delta_g2]):
             raise ValueError("delta G1/G2 mismatch")
-        for w in self.contributions:
-            if e([w["ddelta_g1"]], [g2]) != e([g1], [w["ddelta_g2"]]):
-                raise ValueError("contribution delta POK fails")
+        n_contrib = len(self.contributions)
+        for ci, w in enumerate(self.contributions):
+            r_pt = _verify_pk(c, w["pk_delta"], w["challenge"], 1)
+            post = (self.contributions[ci + 1]["prev_delta_g1"]
+                    if ci + 1 < n_contrib else self.delta_g1)
+            # e(δ_post, R) == e(δ_prev, x·R)  ⟺  δ_post = x·δ_prev
+            if not _same_ratio(c, post, w["prev_delta_g1"], r_pt,
+                               w["pk_delta"].xr):
+                raise ValueError(
+                    f"contribution {ci}: delta not based on previous state"
+                )
+        if n_contrib and self.contributions[-1]["post_hash"] \
+                != self.state_hash():
+            raise ValueError("final delta state does not match transcript")
 
     def finalize(self):
         """(pk, vk) ready for proving."""

@@ -102,31 +102,44 @@ class MXUConstMul:
         v = x8.reshape(*x8.shape[:-1], self.K, 2)
         return v[..., 0] + (v[..., 1] << 8)
 
-    # -- carries (VPU; mirrors field.py at 8-bit granularity) ------------------
-    def _carry8(self, cols, out_limbs: int, drop_low: int = 0):
-        xs = jnp.moveaxis(cols, -1, 0)
+    # -- lazy carries (VPU, O(1) rounds instead of 2K8-step scans) ------------
+    def _relax(self, cols, rounds: int, extra_cols: int = 0):
+        """Value-preserving carry relaxation: r rounds of
+        limb → (limb & 255) + carry-into-next shrink the per-limb bound
+        b → 255 + b/256 without a sequential scan. Unlike an exact carry
+        chain this leaves limbs ≤ 257-ish, which is all the fp32 MXU dots
+        need (exactness only requires partial sums < 2²⁴)."""
+        if extra_cols:
+            cols = jnp.pad(
+                cols, [(0, 0)] * (cols.ndim - 1) + [(0, extra_cols)]
+            )
+        v = cols
+        for _ in range(rounds):
+            lo = v & MASK8
+            c = v >> 8
+            v = lo + jnp.pad(
+                c, [(0, 0)] * (v.ndim - 1) + [(1, 0)]
+            )[..., : v.shape[-1]]
+        return v
 
-        def body_drop(carry, c):
-            return (c + carry) >> 8, None
+    def _finalize(self, s):
+        """(..., 2K8+1) lazy REDC sum (divisible by R) -> canonical (..., K)
+        16-bit limbs of sum/R mod p.
 
-        carry0 = jnp.zeros_like(xs[0])
-        if drop_low:
-            carry0, _ = jax.lax.scan(body_drop, carry0, xs[:drop_low])
-
-        def body(carry, c):
-            v = c + carry
-            return v >> 8, v & MASK8
-
-        _, limbs = jax.lax.scan(body, carry0, xs[drop_low:])
-        limbs = jnp.moveaxis(limbs, 0, -1)
-        pad = out_limbs - limbs.shape[-1]
-        if pad > 0:
-            limbs = jnp.pad(limbs, [(0, 0)] * (limbs.ndim - 1) + [(0, pad)])
-        return limbs[..., :out_limbs]
-
-    def _cond_sub_p8(self, t8):
-        t16 = self.merge16(t8)
-        return self.F._cond_sub_p_arr(t16)
+        After relaxation to limbs ≤ 257 the low half's value V_lo < 1.01·R;
+        since V_lo ≡ 0 (mod R) and limbs are non-negative, V_lo ∈ {0, R} —
+        so the carry into the high half is simply "any low limb nonzero".
+        The high half then needs only one K-step 16-bit exact scan.
+        """
+        K8 = self.K8
+        s = self._relax(s, 3)  # limbs ≤ 257
+        carry = jnp.any(s[..., :K8] != 0, axis=-1).astype(I32)
+        hi = s[..., K8:]  # (..., K8+1); top limb provably 0 (value < R)
+        pairs = hi[..., : K8].reshape(*hi.shape[:-1], self.K, 2)
+        cols16 = pairs[..., 0] + (pairs[..., 1] << 8)  # ≤ 257·257 < 2^17
+        cols16 = cols16.at[..., 0].add(carry)
+        res16 = self.F._carry_scan(cols16)
+        return self.F._cond_sub_p_arr(res16)
 
     # -- the MXU path -----------------------------------------------------------
     def _dot(self, x8, table):
@@ -143,17 +156,25 @@ class MXUConstMul:
         """mont_mul(x, w) with w's (K8, 2K8) Toeplitz table (int32 values).
 
         x16: (N, K) canonical 16-bit Montgomery limbs. Returns (N, K).
+        All carries are O(1) relaxation rounds; the only sequential chain is
+        one final K-step 16-bit scan (vs three 2K8-step 8-bit scans before).
+        Bound audit (BN254/BLS12-381 fr, K8 = 32): dot inputs ≤ 256
+        (bf16-exact on the MXU), columns ≤ 32·256·255 < 2²⁴ (fp32-exact
+        accumulation); m_val < 1.004·R so res < p·(p/R + 1.004) < 2p — one
+        conditional subtraction.
         """
         x8 = self.split8(x16)
-        t_cols = self._dot(x8, w_toep)  # (N, 2K8) uncarried
-        t8 = self._carry8(t_cols, 2 * self.K8 + 1)
-        m_cols = self._dot(t8[..., : self.K8], self.np_toep)  # (N, K8)
-        m8 = self._carry8(m_cols, self.K8)
+        t_cols = self._dot(x8, w_toep)  # (N, 2K8) uncarried ≤ 2^21
+        # 3 rounds: bound 2^21 → 8447 → 288 → 256. MXU dot INPUTS must stay
+        # ≤ 256: the TPU's default-precision matmul feeds bf16 (8-bit
+        # mantissa), exact only up to 2^8 — 288-valued limbs silently round
+        # (caught by the bench's host verification).
+        t = self._relax(t_cols, 3, extra_cols=1)  # (N, 2K8+1), limbs ≤ 256
+        m_cols = self._dot(t[..., : self.K8], self.np_toep)  # (N, K8)
+        m8 = self._relax(m_cols, 3)  # limbs ≤ 256 → m_val < 1.004·R
         u_cols = self._dot(m8, self.p_toep)  # (N, 2K8)
-        pad = t8.shape[-1] - u_cols.shape[-1]
-        u_full = jnp.pad(u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, pad)])
-        res8 = self._carry8(t8 + u_full, self.K8, drop_low=self.K8)
-        return self._cond_sub_p8(res8)
+        s = t + jnp.pad(u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, 1)])
+        return self._finalize(s)
 
     def toeplitz_for(self, w_mont: int):
         """Host: Montgomery-form constant -> device Toeplitz table."""
@@ -164,7 +185,8 @@ class MXUConstMul:
         """Per-group constants: x16 (G, B, K) × w_toeps (G, K8, 2K8).
 
         The NTT stage shape: G = butterfly positions (each with its own
-        twiddle), B = rows sharing that twiddle. One batched MXU matmul.
+        twiddle), B = rows sharing that twiddle. One batched MXU matmul;
+        carries as in mul_const (relaxation + one 16-bit scan).
         """
         x8 = self.split8(x16)  # (G, B, K8)
         t_cols = jax.lax.dot_general(
@@ -172,11 +194,9 @@ class MXUConstMul:
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # (G, B, 2K8)
-        t8 = self._carry8(t_cols, 2 * self.K8 + 1)
-        m_cols = self._dot(t8[..., : self.K8], self.np_toep)
-        m8 = self._carry8(m_cols, self.K8)
+        t = self._relax(t_cols, 3, extra_cols=1)
+        m_cols = self._dot(t[..., : self.K8], self.np_toep)
+        m8 = self._relax(m_cols, 3)
         u_cols = self._dot(m8, self.p_toep)
-        pad = t8.shape[-1] - u_cols.shape[-1]
-        u_full = jnp.pad(u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, pad)])
-        res8 = self._carry8(t8 + u_full, self.K8, drop_low=self.K8)
-        return self._cond_sub_p8(res8)
+        s = t + jnp.pad(u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, 1)])
+        return self._finalize(s)

@@ -94,14 +94,16 @@ class Domain:
         self.tw_inv = _pow_table(F, wi, half)
         self.n_inv = jnp.asarray(F.encode([pow(self.n, -1, q)])[0], dtype=I32)
 
-        # optional MXU twiddle-matmul path (ops/mxu_field.py): stages whose
-        # twiddle count m is small enough ride the systolic array; opt-in
-        # (GNARK_TPU_MXU_NTT=1) while the integration is validated at scale.
+        # MXU twiddle-matmul path (ops/mxu_field.py): stages whose twiddle
+        # count m is small enough ride the systolic array. Default ON after
+        # scale validation (1.5x at 2^20 and the only path that fits HBM at
+        # 2^22 — the VPU path's stage temps OOM there); GNARK_TPU_MXU_NTT=0
+        # opts out.
         import os
 
         self._mxu = None
         self._mxu_tables = {}
-        if os.environ.get("GNARK_TPU_MXU_NTT", "0") == "1":
+        if os.environ.get("GNARK_TPU_MXU_NTT", "1") == "1":
             from .mxu_field import MXUConstMul
 
             self._mxu = MXUConstMul(F)
@@ -133,7 +135,10 @@ class Domain:
             for _ in range(m):
                 rows.append(_toeplitz_u8(cur, self._mxu.K8))
                 cur = cur * w % q
-            self._mxu_tables[key] = jnp.asarray(np.stack(rows))
+            # cache the NUMPY stack: this is reached inside jit traces, and
+            # a jnp array materialized there is a tracer that must not
+            # escape to the next trace (UnexpectedTracerError)
+            self._mxu_tables[key] = np.stack(rows)
         return self._mxu_tables[key]
 
     def _twiddle_mul(self, d, w, tw_key, stride: int, m: int):

@@ -344,3 +344,194 @@ def verify(api, circuit: Circuit, inputs: dict, outputs: dict,
             api.assert_is_equal(
                 poly.eval_multilinear(z, inputs[i]), c
             )
+
+
+# ---------------------------------------------------------------------------
+# frontend integration (≙ std/gkr/compile.go API/Solution + the solve/prove
+# hints of constraint/bn254/gkr.go — here the two hints share closure state
+# within one GkrApi instance instead of solver-embedded GkrInfo)
+# ---------------------------------------------------------------------------
+
+_gkr_instance_counter = [0]
+
+
+class GkrApi:
+    """Build a GKR circuit over per-instance frontend variables, solve its
+    outputs through a hint, and verify the proof in-circuit.
+
+    Usage inside a circuit's define():
+
+        g = GkrApi()
+        a = g.import_(list_of_vars)       # 2^k instances
+        b = g.import_(other_vars)
+        c = g.mul(a, b)
+        sol = g.solve(api)
+        outs = sol.export(c)              # per-instance output variables
+        sol.verify()                      # proof checked in-circuit
+    """
+
+    def __init__(self):
+        from ..constraint import hints as hintlib
+
+        self.wires: list = []
+        self.assignments: dict = {}
+        self._n_inst = None
+        self._state: dict = {}  # shared between the solve and prove hints
+        _gkr_instance_counter[0] += 1
+        uid = _gkr_instance_counter[0]
+        self._solve_hint = hintlib.register_hint(
+            self._solve_hint_fn, f"gkr.solve.{uid}"
+        )
+        self._prove_hint = hintlib.register_hint(
+            self._prove_hint_fn, f"gkr.prove.{uid}"
+        )
+
+    # -- circuit building ---------------------------------------------------
+    def import_(self, assignment: list) -> int:
+        """≙ API.Import: new input wire with per-instance values."""
+        n = len(assignment)
+        assert n & (n - 1) == 0 and n >= 2, "need a power-of-2 instance count"
+        if self._n_inst is None:
+            self._n_inst = n
+        assert n == self._n_inst, "instance count mismatch"
+        idx = len(self.wires)
+        self.wires.append(Wire())
+        self.assignments[idx] = list(assignment)
+        return idx
+
+    def _gate(self, gate, ins):
+        idx = len(self.wires)
+        self.wires.append(Wire(gate, list(ins)))
+        return idx
+
+    def add(self, a: int, b: int) -> int:
+        return self._gate(AddGate, [a, b])
+
+    def mul(self, a: int, b: int) -> int:
+        return self._gate(MulGate, [a, b])
+
+    def named_gate(self, gate, *ins) -> int:
+        """≙ API.NamedGate: any low-degree Gate implementation."""
+        return self._gate(gate, ins)
+
+    # -- hints (host side; closure state carries values solve -> prove) -----
+    def _solve_hint_fn(self, q, inputs):
+        from ..frontend.engine import Engine
+
+        circuit = Circuit(self.wires)
+        n = self._n_inst
+        in_wires = [i for i, w in enumerate(self.wires) if w.is_input]
+        vals = {}
+        off = 0
+        for i in in_wires:
+            vals[i] = [v % q for v in inputs[off : off + n]]
+            off += n
+        eng = Engine(q)
+        assign = evaluate_circuit(eng, circuit, vals)
+        self._state["assignments"] = assign
+        self._state["q"] = q
+        outs = []
+        for i in range(len(self.wires)):
+            if circuit.is_output(i):
+                outs.extend(assign[i])
+        return outs
+
+    def _prove_hint_fn(self, q, inputs):
+        from ..frontend.engine import Engine
+
+        circuit = Circuit(self.wires)
+        assign = self._state.get("assignments")
+        if assign is None:
+            raise RuntimeError("gkr prove hint ran before the solve hint")
+        proof = prove(Engine(q), circuit, assign)
+        return _serialize_proof(circuit, proof)
+
+    # -- solve / verify ------------------------------------------------------
+    def solve(self, api) -> "GkrSolution":
+        """≙ API.Solve: one hint call computes every output wire's values."""
+        circuit = Circuit(self.wires)
+        n = self._n_inst
+        ins = []
+        for i, w in enumerate(self.wires):
+            if w.is_input:
+                ins.extend(self.assignments[i])
+        out_wires = [i for i in range(len(self.wires))
+                     if circuit.is_output(i)]
+        outs = api.new_hint(self._solve_hint, len(out_wires) * n, *ins)
+        out_vars = {}
+        for k, i in enumerate(out_wires):
+            out_vars[i] = outs[k * n : (k + 1) * n]
+        return GkrSolution(self, api, circuit, out_vars)
+
+
+class GkrSolution:
+    """≙ gkr.Solution (compile.go:94-155)."""
+
+    def __init__(self, gapi, api, circuit, out_vars):
+        self.gapi = gapi
+        self.api = api
+        self.circuit = circuit
+        self.out_vars = out_vars
+
+    def export(self, wire_idx: int) -> list:
+        return list(self.out_vars[wire_idx])
+
+    def verify(self) -> None:
+        """Second hint produces the serialized proof; std.gkr.verify checks
+        it against the in-circuit inputs/outputs."""
+        gapi, api, circuit = self.gapi, self.api, self.circuit
+        n = gapi._n_inst
+        n_vars = (n - 1).bit_length()
+        size = _proof_size(circuit, n_vars)
+        # tie ordering: feed one output var so the solver runs solve first
+        first_out = next(iter(self.out_vars.values()))[0]
+        proof_vals = api.new_hint(gapi._prove_hint, size, first_out)
+        proof = _deserialize_proof(circuit, n_vars, proof_vals)
+        inputs = {i: gapi.assignments[i]
+                  for i, w in enumerate(gapi.wires) if w.is_input}
+        verify(api, circuit, inputs, self.out_vars, proof, n_vars)
+
+
+def _proof_shape(circuit: Circuit, n_vars: int):
+    """[(wire, nb_polys=n_vars, poly_len, nb_final)] in proof order."""
+    shape = []
+    for i in reversed(range(len(circuit.wires))):
+        w = circuit.wires[i]
+        if w.is_input:
+            continue
+        deg = 1 + w.gate.degree
+        shape.append((i, n_vars, deg, len(_unique_inputs(w))))
+    return shape
+
+
+def _proof_size(circuit: Circuit, n_vars: int) -> int:
+    return sum(nv * d + nf for _, nv, d, nf in _proof_shape(circuit, n_vars))
+
+
+def _serialize_proof(circuit: Circuit, proof: GkrProof) -> list:
+    n_vars = len(next(iter(proof.sumchecks.values())).partial_sum_polys)
+    out = []
+    for i, nv, d, nf in _proof_shape(circuit, n_vars):
+        sp = proof.sumchecks[i]
+        for poly in sp.partial_sum_polys:
+            assert len(poly) == d
+            out.extend(poly)
+        assert len(sp.final_eval_proof) == nf
+        out.extend(sp.final_eval_proof)
+    return out
+
+
+def _deserialize_proof(circuit: Circuit, n_vars: int, vals: list) -> GkrProof:
+    from .sumcheck import SumcheckProof
+
+    proof = GkrProof()
+    off = 0
+    for i, nv, d, nf in _proof_shape(circuit, n_vars):
+        polys = []
+        for _ in range(nv):
+            polys.append(list(vals[off : off + d]))
+            off += d
+        fin = list(vals[off : off + nf])
+        off += nf
+        proof.sumchecks[i] = SumcheckProof(polys, fin)
+    return proof

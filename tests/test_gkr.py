@@ -170,3 +170,42 @@ def test_gkr_in_circuit_solver():
     )
     bpub, bsec = w2.witness_values(Q)
     assert not is_satisfied(cs, bpub, bsec)
+
+# ---------------------------------------------------------------------------
+# frontend integration (GkrApi: hint-driven solve + prove, ≙ std/gkr
+# compile.go API/Solution + constraint gkr hints)
+# ---------------------------------------------------------------------------
+
+class GkrApiCircuit(FrontCircuit):
+    a = Secret(shape=4)
+    b = Secret(shape=4)
+    want = Public(shape=4)
+
+    def define(self, api):
+        from gnark_icicle_tpu.std.gkr import GkrApi
+
+        g = GkrApi()
+        wa = g.import_(list(self.a))
+        wb = g.import_(list(self.b))
+        out = g.add(g.mul(wa, wb), wa)  # a·b + a
+        sol = g.solve(api)
+        for o, w in zip(sol.export(out), self.want):
+            api.assert_is_equal(o, w)
+        sol.verify()
+
+
+def test_gkr_api_end_to_end():
+    rng = random.Random(13)
+    A = [rng.randrange(Q) for _ in range(4)]
+    B = [rng.randrange(Q) for _ in range(4)]
+    W = [(A[i] * B[i] + A[i]) % Q for i in range(4)]
+    w = GkrApiCircuit(a=A, b=B, want=W)
+    assert is_solved(w, Q)
+    assert not is_solved(GkrApiCircuit(a=A, b=B,
+                                       want=[(x + 1) % Q for x in W]), Q)
+    cs = compile_circuit(Q, GkrApiCircuit)
+    pub, sec = w.witness_values(Q)
+    assert is_satisfied(cs, pub, sec)
+    bad = GkrApiCircuit(a=A, b=B, want=[(x + 1) % Q for x in W])
+    bpub, bsec = bad.witness_values(Q)
+    assert not is_satisfied(cs, bpub, bsec)

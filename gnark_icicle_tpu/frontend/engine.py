@@ -142,7 +142,12 @@ class Engine:
             if isinstance(hint_fn_or_id, int)
             else hint_fn_or_id
         )
-        outs = fn(self.q, [self._v(x) for x in inputs] + list(static_args))
+        try:
+            outs = fn(self.q, [self._v(x) for x in inputs] + list(static_args))
+        except EngineUnsatisfiedError:
+            raise
+        except Exception as e:  # hint failure ⇒ witness unsolvable
+            raise EngineUnsatisfiedError(f"hint failed: {e}") from e
         if len(outs) != nb_outputs:
             raise EngineUnsatisfiedError("hint output arity mismatch")
         return [o % self.q for o in outs]

@@ -38,6 +38,10 @@ def verify(curve: EmulatedCurve, pub: PublicKey, msg_hash: Element,
     """
     fr = curve.fr
     curve.assert_on_curve(pub.point)
+    # pin canonical encodings: r, s < n (ECDSA validity requires it; also
+    # removes the r+n malleability of lazily-encoded witnesses)
+    fr.assert_canonical(sig.r)
+    fr.assert_canonical(sig.s)
     s_inv = fr.inverse(sig.s)        # proves s ≠ 0
     fr.inverse(sig.r)                # proves r ≠ 0
     u1 = fr.mul(msg_hash, s_inv)

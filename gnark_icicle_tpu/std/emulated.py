@@ -143,15 +143,43 @@ class EmulatedField:
         ]
         return Element(limbs, 1 << self.w)
 
-    def from_limbs(self, limb_vars) -> Element:
-        """Witness limbs -> range-checked reduced element."""
+    def from_limbs(self, limb_vars, canonical: bool = False) -> Element:
+        """Witness limbs -> range-checked element.
+
+        canonical=True additionally enforces value < p (≙ the reference's
+        AssertIsInRange on witness elements); by default only per-limb
+        width is enforced — arithmetic is sound for any bounded value since
+        all relations hold mod p, but canonical=True pins the unique
+        encoding (needed e.g. for signature components).
+        """
         assert len(limb_vars) == self.k
         for v in limb_vars:
             self.api.to_binary(v, self.w)  # range check each limb
         e = Element(limb_vars, 1 << self.w)
-        # enforce value < p: p − 1 − value decomposes in k·w bits
-        # (coarse check; exact canonical check: round 2 as in the reference)
+        if canonical:
+            self.assert_canonical(e)
         return e
+
+    def assert_canonical(self, a: Element):
+        """Enforce Σ aᵢ·2^(w·i) < p for width-bounded limbs, by big-endian
+        lexicographic comparison against p's limbs (strictly-less borrow
+        cascade; each limb comparison is one bounded decomposition)."""
+        api = self.api
+        from .math_cmp import BoundedComparator
+
+        cmp = BoundedComparator(api, 1 << self.w)
+        p_limbs = [
+            (self.p >> (self.w * i)) & ((1 << self.w) - 1)
+            for i in range(self.k)
+        ]
+        lt = 0   # strictly less established at a higher limb
+        eq = 1   # all higher limbs equal so far
+        for i in range(self.k - 1, -1, -1):
+            li_less = cmp.is_less(a.limbs[i], p_limbs[i])
+            li_eq = api.is_zero(api.sub(a.limbs[i], p_limbs[i]))
+            lt = api.or_(lt, api.and_(eq, li_less))
+            eq = api.and_(eq, li_eq)
+        api.assert_is_equal(lt, 1)
 
     # -- linear ops (lazy, bound-tracked) -------------------------------------
     def add(self, a: Element, b: Element) -> Element:

@@ -106,3 +106,18 @@ def test_emulated_constraint_count_sane():
     # one emulated mul ≈ a few thousand constraints in the bit-decomposed
     # variant (the reference's table-based variant is tighter — PARITY.md)
     assert cs.nb_constraints < 6000
+
+
+def test_canonical_form_enforced():
+    """assert_canonical pins value < p (reference AssertIsInRange role);
+    boundary p−1 accepted, p and p+5 rejected."""
+    from gnark_icicle_tpu.frontend.engine import Engine
+    from gnark_icicle_tpu.std.emulated import SECP256K1_FR
+
+    n = SECP256K1_FR.modulus
+    eng = Engine(Q)
+    f = EmulatedField(eng, SECP256K1_FR, Q)
+    f.from_limbs(_limbs(n - 1, SECP256K1_FR), canonical=True)
+    for bad in (n, n + 5, (1 << 256) - 1):
+        with pytest.raises(Exception):
+            f.from_limbs(_limbs(bad, SECP256K1_FR), canonical=True)

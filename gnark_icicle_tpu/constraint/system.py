@@ -176,6 +176,50 @@ class R1CS:
         self.hints.append(HintInstr(hint_id, inputs, outputs, tuple(static_args)))
         self.instructions.append((INSTR_HINT, len(self.hints) - 1))
 
+    def compute_levels(self) -> list:
+        """Dependency levels over the instruction stream (≙ the compile-time
+        instruction tree, constraint/core.go:111-117 + instruction_tree.go).
+
+        Returns a list of levels; each level is a list of instruction
+        indices (positions in self.instructions) whose inputs are all
+        produced at strictly earlier levels — instructions within one level
+        are independently solvable (the reference's per-level worker pool;
+        our native core's parallel batch).
+        """
+        n_in = self.nb_public + self.nb_secret
+        wire_level: dict[int, int] = {}  # producer level per wire
+
+        def read_level(wids) -> int:
+            lvl = -1
+            for w in wids:
+                if w >= n_in:
+                    lvl = max(lvl, wire_level.get(w, -1))
+            return lvl
+
+        levels: list[list[int]] = []
+        for pos, (kind, idx) in enumerate(self.instructions):
+            if kind == INSTR_HINT:
+                h = self.hints[idx]
+                reads = [w for expr in h.inputs for _, w in expr]
+                lvl = read_level(reads) + 1
+                for w in h.outputs:
+                    wire_level[w] = lvl
+            else:
+                (ls, _), (_, _), (_, oe) = self.constraint_slots(idx)
+                sw = self.solved_wire[idx]
+                # the three slots are contiguous in the term arrays
+                reads = [
+                    self.term_wire[t] for t in range(ls, oe)
+                    if self.term_wire[t] != sw
+                ]
+                lvl = read_level(reads) + 1
+                if sw >= 0:
+                    wire_level[sw] = lvl
+            while len(levels) <= lvl:
+                levels.append([])
+            levels[lvl].append(pos)
+        return levels
+
     def constraint_slots(self, j: int):
         """Term index ranges (l, r, o) of constraint j."""
         end = self.l_off[j + 1] if j + 1 < len(self.l_off) else len(self.term_coeff)

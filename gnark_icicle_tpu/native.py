@@ -27,7 +27,8 @@ def _build() -> str | None:
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-o", out, src],
+            ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-fopenmp",
+             "-o", out, src],
             check=True, capture_output=True, timeout=120,
         )
         return out
@@ -61,6 +62,9 @@ def get_lib():
             u64p, u8p,              # wires, assigned
             u64p, u64p,             # abc, one_mont
         ]
+        if hasattr(lib, "r1cs_solve_level"):
+            lib.r1cs_solve_level.restype = ctypes.c_longlong
+            lib.r1cs_solve_level.argtypes = lib.r1cs_solve_run.argtypes
         lib.from_mont_batch.restype = None
         lib.from_mont_batch.argtypes = [
             u64p, ctypes.c_uint64, u64p, ctypes.c_longlong
@@ -303,9 +307,12 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    def run(order):
+    def run(order, level_parallel=False):
         order = np.asarray(order, dtype=np.int64)
-        rc = lib.r1cs_solve_run(
+        entry = (lib.r1cs_solve_level
+                 if level_parallel and hasattr(lib, "r1cs_solve_level")
+                 else lib.r1cs_solve_run)
+        rc = entry(
             ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
             ptr(coeffs_m, ctypes.c_uint64),
             ptr(term_coeff, ctypes.c_uint32), ptr(term_wire, ctypes.c_uint32),
@@ -326,14 +333,7 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
         x = int(row[0]) | (int(row[1]) << 64) | (int(row[2]) << 128) | (int(row[3]) << 192)
         return nf.from_mont_int(x)
 
-    pending: list = []
-    for kind, idx in cs.instructions:
-        if kind == INSTR_R1C:
-            pending.append(idx)
-            continue
-        if pending:
-            run(pending)
-            pending = []
+    def run_hint(idx):
         h = cs.hints[idx]
         ins = []
         for expr in h.inputs:
@@ -361,8 +361,36 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
         for wid, row in zip(h.outputs, mont):
             wires[wid] = row
             assigned[wid] = 1
-    if pending:
-        run(pending)
+
+    if os.environ.get("GNARK_TPU_LEVEL_SOLVE", "1") == "1":
+        # dependency-levelled schedule (≙ the reference's Levels + per-level
+        # worker pool): within each level the R1C batch runs through the
+        # OpenMP entry; hints stay host-sequential
+        for level in cs.compute_levels():
+            batch = []
+            for pos in level:
+                kind, idx = cs.instructions[pos]
+                if kind == INSTR_R1C:
+                    batch.append(idx)
+                else:
+                    if batch:
+                        run(batch, level_parallel=True)
+                        batch = []
+                    run_hint(idx)
+            if batch:
+                run(batch, level_parallel=True)
+    else:
+        pending: list = []
+        for kind, idx in cs.instructions:
+            if kind == INSTR_R1C:
+                pending.append(idx)
+                continue
+            if pending:
+                run(pending)
+                pending = []
+            run_hint(idx)
+        if pending:
+            run(pending)
 
     # batch Montgomery -> plain in C++ (the Python bigint path here would
     # dominate the whole solve)

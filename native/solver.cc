@@ -377,3 +377,37 @@ void from_mont_batch(const u64* p_limbs, u64 inv, u64* vals, long long n) {
 }
 
 }  // extern "C"
+
+// Level-parallel variant of r1cs_solve_run: every instruction in `order`
+// belongs to one dependency level (inputs produced strictly earlier), so
+// iterations are independent and can run concurrently (≙ the reference's
+// per-level goroutine pool, constraint/bn254/solver.go:426-532).
+extern "C" long long r1cs_solve_level(
+    const u64* p_limbs, u64 inv,
+    const u64* coeffs,
+    const uint32_t* term_coeff, const uint32_t* term_wire,
+    const long long* l_off, const long long* r_off, const long long* o_off,
+    const long long* solved_wire,
+    const long long* order, long long n_run, long long n_cons,
+    u64* wires, uint8_t* assigned,
+    u64* abc, const u64* one_mont) {
+  long long fail = -1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (long long r = 0; r < n_run; ++r) {
+    if (fail >= 0) continue;
+    long long rc = r1cs_solve_run(
+        p_limbs, inv, coeffs, term_coeff, term_wire, l_off, r_off, o_off,
+        solved_wire, order + r, 1, n_cons, wires, assigned, abc, one_mont);
+    if (rc >= 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      {
+        if (fail < 0 || rc < fail) fail = rc;
+      }
+    }
+  }
+  return fail;
+}

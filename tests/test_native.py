@@ -63,3 +63,55 @@ def test_native_rollup_scale():
     # not a strict perf assert (CI noise) — just record the ratio
     print(f"native {t_nat*1e3:.0f} ms vs python {t_py*1e3:.0f} ms "
           f"({t_py/max(t_nat,1e-9):.0f}x)")
+
+
+def test_level_solve_bit_identical():
+    """Dependency-levelled native solving (≙ the reference's per-level
+    worker pool) matches the sequential native path and the Python oracle
+    across the corpus; levels respect producer-before-consumer."""
+    import os
+    from circuits import corpus
+    from gnark_icicle_tpu.constraint.solver import solve
+    from gnark_icicle_tpu.constraint.system import INSTR_R1C, INSTR_HINT
+
+    for name, cls, valid, _ in corpus(Q):
+        cs = compile_circuit(Q, cls)
+        levels = cs.compute_levels()
+        assert sum(len(l) for l in levels) == len(cs.instructions)
+        # every wire read at level L is produced before L
+        produced_at = {}
+        for lvl, poss in enumerate(levels):
+            for pos in poss:
+                kind, idx = cs.instructions[pos]
+                outs = (cs.hints[idx].outputs if kind == INSTR_HINT
+                        else ([cs.solved_wire[idx]]
+                              if cs.solved_wire[idx] >= 0 else []))
+                for w in outs:
+                    produced_at[w] = lvl
+        n_in = cs.nb_public + cs.nb_secret
+        for lvl, poss in enumerate(levels):
+            for pos in poss:
+                kind, idx = cs.instructions[pos]
+                if kind == INSTR_HINT:
+                    reads = [w for e in cs.hints[idx].inputs for _, w in e]
+                else:
+                    (ls, _), _, (_, oe) = cs.constraint_slots(idx)
+                    sw = cs.solved_wire[idx]
+                    reads = [cs.term_wire[t] for t in range(ls, oe)
+                             if cs.term_wire[t] != sw]
+                for w in reads:
+                    if w >= n_in and w in produced_at:
+                        assert produced_at[w] < lvl, (name, lvl, w)
+        for w in valid:
+            pub, sec = cls(**w).witness_values(Q)
+            os.environ["GNARK_TPU_LEVEL_SOLVE"] = "1"
+            try:
+                r1 = solve(cs, pub, sec, native=True)
+                os.environ["GNARK_TPU_LEVEL_SOLVE"] = "0"
+                r0 = solve(cs, pub, sec, native=True)
+            finally:
+                os.environ.pop("GNARK_TPU_LEVEL_SOLVE", None)
+            rp = solve(cs, pub, sec, native=False)
+            assert r1.wires == r0.wires == rp.wires
+            assert (r1.a, r1.b, r1.c) == (r0.a, r0.b, r0.c) \
+                == (rp.a, rp.b, rp.c)

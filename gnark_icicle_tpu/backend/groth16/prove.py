@@ -66,9 +66,61 @@ def _compute_h(ctx: DeviceCtx, a, b, c, log_n: int):
     return F.from_mont(h_rev)  # plain limbs = MSM scalar format
 
 
+class _Checkpoint:
+    """Stage checkpointing for preemptible accelerators (SURVEY §5: the
+    reference has no mid-proof checkpointing — this is the TPU-slice
+    extension). Stages: solve → h → msms; blinding is always fresh so a
+    resumed proof is still randomized. Artifacts are bound to the
+    (constraint count, domain, public inputs) tuple and ignored on
+    mismatch."""
+
+    def __init__(self, directory, binding: bytes):
+        import os
+
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self.binding = binding
+        tag_path = self._p("binding")
+        if os.path.exists(tag_path):
+            with open(tag_path, "rb") as f:
+                if f.read() != binding:  # different proving task: start over
+                    for name in os.listdir(directory):
+                        os.unlink(os.path.join(directory, name))
+        with open(tag_path, "wb") as f:
+            f.write(binding)
+
+    def _p(self, name):
+        import os
+
+        return os.path.join(self.dir, name)
+
+    def load(self, name):
+        import os
+        import pickle
+
+        path = self._p(name + ".pkl")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def save(self, name, obj):
+        import os
+        import pickle
+
+        tmp = self._p(name + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, self._p(name + ".pkl"))  # atomic vs preemption
+
+
 def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
-          rng=None) -> Proof:
-    """Generate a Groth16 proof (≙ groth16.Prove, icicle path)."""
+          rng=None, checkpoint_dir: str | None = None) -> Proof:
+    """Generate a Groth16 proof (≙ groth16.Prove, icicle path).
+
+    checkpoint_dir: if set, persist each prover stage (solve, H, MSMs) so a
+    preempted run resumes from the last completed stage.
+    """
     import time
 
     from ...logger import logger
@@ -112,7 +164,27 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
 
         overrides = {hintlib.BSB22_PLACEHOLDER: bsb22_override}
 
-    res = solve(cs, public_values, secret_values, hint_overrides=overrides)
+    ck = None
+    if checkpoint_dir is not None:
+        import hashlib
+
+        binding = hashlib.sha256(
+            b"g16ck" + cs.nb_constraints.to_bytes(8, "big")
+            + pk.domain_log_n.to_bytes(2, "big")
+            + b"".join(int(v).to_bytes(32, "big") for v in public_values)
+        ).digest()
+        ck = _Checkpoint(checkpoint_dir, binding)
+
+    res = None
+    if ck is not None:
+        saved = ck.load("solve")
+        if saved is not None:
+            res, commitment_pts, committed_values = saved
+    if res is None:
+        res = solve(cs, public_values, secret_values,
+                    hint_overrides=overrides)
+        if ck is not None:
+            ck.save("solve", (res, commitment_pts, committed_values))
 
     # proofs of knowledge, folded with the G16-BSB22 challenge
     # (≙ prove.go:121-141)
@@ -138,7 +210,16 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
 
     # --- device phase (limb arrays straight from the solver — no host
     # bigint conversions on the hot path) ----------------------------------
-    h_scalars = _compute_h(ctx, res.a_u16(), res.b_u16(), res.c_u16(), log_n)
+    h_scalars = ck.load("h") if ck is not None else None
+    if h_scalars is None:
+        import numpy as np
+
+        h_scalars = _compute_h(
+            ctx, res.a_u16(), res.b_u16(), res.c_u16(), log_n
+        )
+        if ck is not None:
+            h_scalars = np.asarray(h_scalars)
+            ck.save("h", h_scalars)
 
     dev = pk.device_arrays(ctx)
     wires_u16 = res.wires_u16()
@@ -162,29 +243,35 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     priv_wires = ctx.fr_scalars(priv_u16)
     nb_priv = priv_u16.shape[0]
 
-    c_all = pick_window(nw)
-    ar_dev = ctx.msm_g1.msm(dev["a"][0], dev["a"][1], wires, c_all)
-    bs1_dev = ctx.msm_g1.msm(dev["b1"][0], dev["b1"][1], wires, c_all)
-    bs2_dev = ctx.msm_g2.msm(dev["b2"][0], dev["b2"][1], wires, c_all)
-    krs_parts = []
-    if nb_priv > 0:
+    msms = ck.load("msms") if ck is not None else None
+    if msms is None:
+        c_all = pick_window(nw)
+        ar_dev = ctx.msm_g1.msm(dev["a"][0], dev["a"][1], wires, c_all)
+        bs1_dev = ctx.msm_g1.msm(dev["b1"][0], dev["b1"][1], wires, c_all)
+        bs2_dev = ctx.msm_g2.msm(dev["b2"][0], dev["b2"][1], wires, c_all)
+        krs_parts = []
+        if nb_priv > 0:
+            krs_parts.append(
+                ctx.msm_g1.msm(dev["k"][0], dev["k"][1], priv_wires,
+                               pick_window(nb_priv))
+            )
         krs_parts.append(
-            ctx.msm_g1.msm(dev["k"][0], dev["k"][1], priv_wires,
-                           pick_window(nb_priv))
+            ctx.msm_g1.msm(dev["z"][0], dev["z"][1], h_scalars,
+                           pick_window(n))
         )
-    krs_parts.append(
-        ctx.msm_g1.msm(dev["z"][0], dev["z"][1], h_scalars, pick_window(n))
-    )
+        msms = (
+            ctx.g1_to_host(ar_dev), ctx.g1_to_host(bs1_dev),
+            ctx.g2_to_host(bs2_dev), [ctx.g1_to_host(p) for p in krs_parts],
+        )
+        if ck is not None:
+            ck.save("msms", msms)
+    ar_msm, bs1_msm, bs2_msm, krs_msm = msms
 
-    # --- host blinding (r, s — toxic randomness stays host-side) ----------
+    # --- host blinding (r, s — toxic randomness stays host-side; always
+    # fresh, so resumed proofs remain randomized) --------------------------
     g1, g2 = curve.g1, curve.g2
     r = rand(q)
     s = rand(q)
-
-    ar_msm = ctx.g1_to_host(ar_dev)
-    bs1_msm = ctx.g1_to_host(bs1_dev)
-    bs2_msm = ctx.g2_to_host(bs2_dev)
-    krs_msm = [ctx.g1_to_host(p) for p in krs_parts]
 
     # Ar = α + Σw·A + r·δ
     ar = g1.add(g1.add(pk.g1_alpha, ar_msm), g1.scalar_mul(pk.g1_delta, r))

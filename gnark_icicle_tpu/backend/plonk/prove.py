@@ -153,11 +153,26 @@ def _quotient_device(ctx, dom4, ev, n, beta, gamma, alpha, k1, k2, g, eta, q):
 
 
 def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
-          curve, rng=None) -> Proof:
+          curve, rng=None, checkpoint_dir: str | None = None) -> Proof:
+    """PLONK prove; checkpoint_dir persists the expensive stages (witness
+    solve, round-1 wire commitments incl. their blinding, permutation Z,
+    quotient) so a preempted run resumes — same scheme as groth16.prove."""
     q = curve.fr.modulus
     rand = rng.randrange if rng is not None else (
         lambda m: secrets.randbelow(m - 1) + 1
     )
+    ck = None
+    if checkpoint_dir is not None:
+        import hashlib
+
+        from ..groth16.prove import _Checkpoint
+
+        binding = hashlib.sha256(
+            b"plonkck" + cs.nb_gates.to_bytes(8, "big")
+            + pk.log_n.to_bytes(2, "big")
+            + b"".join(int(v).to_bytes(32, "big") for v in public_values)
+        ).digest()
+        ck = _Checkpoint(checkpoint_dir, binding)
     ctx = DeviceCtx(curve)
     log_n = pk.log_n
     n = 1 << log_n
@@ -217,8 +232,16 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
 
         overrides = {hintlib.BSB22_PLACEHOLDER: bsb22_override}
 
-    wires, av, bv, cv = solve_scs(cs, public_values, secret_values,
-                                  hint_overrides=overrides)
+    solved = ck.load("solve") if ck is not None else None
+    if solved is not None:
+        (wires, av, bv, cv, bsb22_coms, pi2_coeffs,
+         commitment_vals) = solved
+    else:
+        wires, av, bv, cv = solve_scs(cs, public_values, secret_values,
+                                      hint_overrides=overrides)
+        if ck is not None:
+            ck.save("solve", (wires, av, bv, cv, bsb22_coms, pi2_coeffs,
+                              commitment_vals))
     av += [0] * (n - len(av))
     bv += [0] * (n - len(bv))
     cv += [0] * (n - len(cv))
@@ -231,12 +254,19 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         bs = [rand(q) for _ in range(degree + 1)]
         return _add_poly(coeffs, _mul_zh(bs, n, q), q)
 
-    a_coeffs = blind(evals_to_coeffs(av), 1)
-    b_coeffs = blind(evals_to_coeffs(bv), 1)
-    c_coeffs = blind(evals_to_coeffs(cv), 1)
-    a_com = kzg.commit(a_coeffs)
-    b_com = kzg.commit(b_coeffs)
-    c_com = kzg.commit(c_coeffs)
+    round1 = ck.load("round1") if ck is not None else None
+    if round1 is not None:
+        a_coeffs, b_coeffs, c_coeffs, a_com, b_com, c_com = round1
+    else:
+        a_coeffs = blind(evals_to_coeffs(av), 1)
+        b_coeffs = blind(evals_to_coeffs(bv), 1)
+        c_coeffs = blind(evals_to_coeffs(cv), 1)
+        a_com = kzg.commit(a_coeffs)
+        b_com = kzg.commit(b_coeffs)
+        c_com = kzg.commit(c_coeffs)
+        if ck is not None:
+            ck.save("round1",
+                    (a_coeffs, b_coeffs, c_coeffs, a_com, b_com, c_com))
     for cm in (a_com, b_com, c_com):
         ts.absorb_point(curve, cm)
     beta = ts.challenge(b"beta")
@@ -263,8 +293,14 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         den = den * ((cv[j] + beta * sigma_val(2, j) + gamma) % q) % q
         zv[j + 1] = zv[j] * num % q * pow(den, -1, q) % q
 
-    z_coeffs = blind(evals_to_coeffs(zv), 2)
-    z_com = kzg.commit(z_coeffs)
+    round2 = ck.load("round2") if ck is not None else None
+    if round2 is not None:
+        z_coeffs, z_com = round2
+    else:
+        z_coeffs = blind(evals_to_coeffs(zv), 2)
+        z_com = kzg.commit(z_coeffs)
+        if ck is not None:
+            ck.save("round2", (z_coeffs, z_com))
     for cm in bsb22_coms:  # α binds the BSB22 commitments (≙ prove.go:471)
         ts.absorb_point(curve, cm)
     ts.absorb_point(curve, z_com)
@@ -285,38 +321,43 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     zw_coeffs = [c * pow(omega, i, q) % q for i, c in enumerate(z_coeffs)]
 
     # all columns as DEVICE Montgomery evals on the 4n coset
-    ev = {
-        "a": coset4_evals_dev(a_coeffs),
-        "b": coset4_evals_dev(b_coeffs),
-        "c": coset4_evals_dev(c_coeffs),
-        "z": coset4_evals_dev(z_coeffs),
-        "zw": coset4_evals_dev(zw_coeffs),
-        "qk": coset4_evals_dev(qk_full_coeffs),
-    }
-    for name in ("ql", "qr", "qm", "qo", "s1", "s2", "s3"):
-        ev[name] = coset4_evals_dev(pk.trace_coeffs[name])
-    for i in range(len(commitment_info)):
-        ev[f"qcp{i}"] = coset4_evals_dev(pk.trace_coeffs[f"qcp{i}"])
-        ev[f"pi2_{i}"] = coset4_evals_dev(pi2_coeffs[i])
-
-    t_mont = _quotient_device(
-        ctx, dom4, ev, n, beta, gamma, alpha, k1, k2,
-        curve.fr.multiplicative_generator,
-        curve.fr.root_of_unity(log_n + 2), q,
-    )
-    t_coeffs = F.decode(np.asarray(t_mont))
-    # T has degree ≤ 3n+5; split into 3 shards of n+2
     shard = n + 2
-    t1 = t_coeffs[:shard]
-    t2 = t_coeffs[shard : 2 * shard]
-    t3 = t_coeffs[2 * shard : 3 * shard]
-    for c in t_coeffs[3 * shard :]:
-        assert c == 0, "quotient degree overflow — identity violated"
-    t_coms = (
-        kzg.commit_mont(t_mont[:shard]),
-        kzg.commit_mont(t_mont[shard : 2 * shard]),
-        kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
-    )
+    quo = ck.load("quotient") if ck is not None else None
+    if quo is not None:
+        t1, t2, t3, t_coms = quo
+    else:
+        ev = {
+            "a": coset4_evals_dev(a_coeffs),
+            "b": coset4_evals_dev(b_coeffs),
+            "c": coset4_evals_dev(c_coeffs),
+            "z": coset4_evals_dev(z_coeffs),
+            "zw": coset4_evals_dev(zw_coeffs),
+            "qk": coset4_evals_dev(qk_full_coeffs),
+        }
+        for name in ("ql", "qr", "qm", "qo", "s1", "s2", "s3"):
+            ev[name] = coset4_evals_dev(pk.trace_coeffs[name])
+        for i in range(len(commitment_info)):
+            ev[f"qcp{i}"] = coset4_evals_dev(pk.trace_coeffs[f"qcp{i}"])
+            ev[f"pi2_{i}"] = coset4_evals_dev(pi2_coeffs[i])
+        t_mont = _quotient_device(
+            ctx, dom4, ev, n, beta, gamma, alpha, k1, k2,
+            curve.fr.multiplicative_generator,
+            curve.fr.root_of_unity(log_n + 2), q,
+        )
+        t_coeffs = F.decode(np.asarray(t_mont))
+        # T has degree ≤ 3n+5; split into 3 shards of n+2
+        t1 = t_coeffs[:shard]
+        t2 = t_coeffs[shard : 2 * shard]
+        t3 = t_coeffs[2 * shard : 3 * shard]
+        for c in t_coeffs[3 * shard :]:
+            assert c == 0, "quotient degree overflow — identity violated"
+        t_coms = (
+            kzg.commit_mont(t_mont[:shard]),
+            kzg.commit_mont(t_mont[shard : 2 * shard]),
+            kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
+        )
+        if ck is not None:
+            ck.save("quotient", (t1, t2, t3, t_coms))
     for cm in t_coms:
         ts.absorb_point(curve, cm)
     zeta = ts.challenge(b"zeta")

@@ -200,3 +200,78 @@ class MXUConstMul:
         u_cols = self._dot(m8, self.p_toep)
         s = t + jnp.pad(u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, 1)])
         return self._finalize(s)
+
+
+class MXURedcMul:
+    """Variable×variable mont_mul with the REDC half on the MXU.
+
+    The t = x·y product is data-dependent (stays on the VPU as the 16-bit
+    column schoolbook, K² int32 muls), but both REDC products are by the
+    CONSTANTS N' and p — Toeplitz matmuls shared across every lane. Replaces
+    2/3 of mont_mul's VPU integer multiplies with systolic-array work
+    (ROADMAP #1 "REDC-only variant").
+    """
+
+    _cache: dict = {}
+
+    def __new__(cls, F: LimbField):
+        key = ("redc", F.modulus)
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        cls._cache[key] = self
+        return self
+
+    def __init__(self, F: LimbField):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.F = F
+        self.M = MXUConstMul(F)
+        self.K8 = self.M.K8
+
+    def _relax16(self, cols, rounds: int, extra_cols: int = 0):
+        """16-bit-granularity carry relaxation (same idea as _relax)."""
+        if extra_cols:
+            cols = jnp.pad(
+                cols, [(0, 0)] * (cols.ndim - 1) + [(0, extra_cols)]
+            )
+        v = cols
+        for _ in range(rounds):
+            lo = v & MASK16
+            c = v >> 16
+            v = lo + jnp.pad(
+                c, [(0, 0)] * (v.ndim - 1) + [(1, 0)]
+            )[..., : v.shape[-1]]
+        return v
+
+    @partial(jax.jit, static_argnums=0)
+    def mont_mul(self, x16, y16):
+        """a·b·R⁻¹ mod p, bit-identical to LimbField.mont_mul.
+
+        Bound audit: 16-bit product columns ≤ 2K·2^16 < 2^21; two 16-bit
+        relax rounds bring them to ≤ 2^16 so the 8-bit split has lo ≤ 255,
+        hi ≤ 256 — both bf16-exact MXU inputs. The REDC dots and the final
+        carry/cond-sub reuse MXUConstMul's machinery.
+        """
+        F, M, K8 = self.F, self.M, self.K8
+        from .field import U32
+
+        t16 = F._wide_mul_cols(
+            x16.astype(U32), y16.astype(U32), 2 * F.K + 1
+        ).astype(jnp.int32)
+        t16 = self._relax16(t16, 2)  # limbs ≤ 2^16
+        lo = t16 & MASK8
+        hi = t16 >> 8  # ≤ 256 (bf16-exact)
+        # interleave to 8-bit columns: (..., 2*(2K+1))
+        t8 = jnp.stack([lo, hi], axis=-1).reshape(
+            *t16.shape[:-1], 2 * t16.shape[-1]
+        )
+        t8 = t8[..., : 2 * K8 + 1]  # value < p² ⇒ top cols are slack only
+        m_cols = M._dot(t8[..., :K8], M.np_toep)
+        m8 = M._relax(m_cols, 3)  # ≤ 256, m_val < 1.004·R
+        u_cols = M._dot(m8, M.p_toep)
+        s = t8 + jnp.pad(
+            u_cols, [(0, 0)] * (u_cols.ndim - 1) + [(0, 1)]
+        )
+        return M._finalize(s)

@@ -45,3 +45,27 @@ def test_checkpoint_resume_and_binding(tmp_path):
                        checkpoint_dir=d)
     groth16.verify(p4, vk, [73], CURVE)
     assert not groth16.is_valid(p4, vk, [35], CURVE)
+
+
+@pytest.mark.slow
+def test_plonk_checkpoint_resume(tmp_path):
+    from gnark_icicle_tpu.backend import plonk
+
+    cs = compile_circuit(Q, Cubic, builder="scs")
+    pk, vk = plonk.setup(cs, CURVE, rng=random.Random(51))
+    d = str(tmp_path / "pck")
+
+    p1 = plonk.prove(cs, pk, [35], [3], CURVE, rng=random.Random(52),
+                     checkpoint_dir=d)
+    plonk.verify(p1, vk, [35], CURVE)
+    assert sorted(os.listdir(d)) == [
+        "binding", "quotient.pkl", "round1.pkl", "round2.pkl", "solve.pkl"
+    ]
+    p2 = plonk.prove(cs, pk, [35], [3], CURVE, rng=random.Random(53),
+                     checkpoint_dir=d)
+    plonk.verify(p2, vk, [35], CURVE)
+    # drop the quotient stage: earlier rounds reuse, quotient recomputes
+    os.unlink(os.path.join(d, "quotient.pkl"))
+    p3 = plonk.prove(cs, pk, [35], [3], CURVE, rng=random.Random(54),
+                     checkpoint_dir=d)
+    plonk.verify(p3, vk, [35], CURVE)

@@ -432,6 +432,13 @@ class Builder:
         ))
         return res
 
+    def defer_(self, cb):
+        """Run cb(api) after define returns (≙ api.Compiler().Defer /
+        internal/circuitdefer)."""
+        from .compile import defer_circuit
+
+        defer_circuit(self, cb)
+
     def println(self, *args):
         """Record values to resolve at solve time (≙ api.Println)."""
         entry = []

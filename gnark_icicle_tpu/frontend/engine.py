@@ -162,6 +162,12 @@ class Engine:
         v = hash_to_fr(msg, b"engine-commit", self.q)[0]
         return v if v != 0 else 1
 
+    def defer_(self, cb):
+        """Run cb(api) after define returns (≙ api.Compiler().Defer)."""
+        from .compile import defer_circuit
+
+        defer_circuit(self, cb)
+
     def println(self, *args):
         pass
 

@@ -349,5 +349,12 @@ class ScsBuilder:
         )
         return out
 
+    def defer_(self, cb):
+        """Run cb(api) after define returns (≙ api.Compiler().Defer /
+        internal/circuitdefer)."""
+        from .compile import defer_circuit
+
+        defer_circuit(self, cb)
+
     def println(self, *args):
         pass

@@ -287,3 +287,17 @@ def test_r1cs_serialization_keeps_commitments():
         assert a.private_committed == list(b.private_committed)
         assert a.commitment_index == b.commitment_index
     assert is_satisfied(back, [7], [2, 5])
+
+
+def test_commitment_on_bls12_381():
+    """The commitment machinery is curve-generic: full Groth16 BSB22 flow on
+    the second instantiation."""
+    from gnark_icicle_tpu.curves import bls12_381
+
+    B = bls12_381.BLS12_381
+    cs = compile_circuit(B.fr.modulus, CommitCubic)
+    pk, vk = groth16.setup(cs, B, rng=random.Random(61))
+    proof = groth16.prove(cs, pk, [35], [3], B, rng=random.Random(62))
+    assert len(proof.commitments) == 1
+    groth16.verify(proof, vk, [35], B)
+    assert not groth16.is_valid(proof, vk, [36], B)

@@ -114,3 +114,33 @@ def test_fuzz_engine_vs_solver():
             assert is_solved(circ, Q) == is_satisfied(cs, pub, sec), (
                 f"{cls.__name__} disagreement on {assignment}"
             )
+
+
+def test_defer_runs_after_define():
+    """api.defer_ (≙ api.Compiler().Defer): callbacks run post-define on
+    engine and both builders, in registration order, and may defer more."""
+    from gnark_icicle_tpu.frontend import Circuit, Secret, compile_circuit
+    from gnark_icicle_tpu.frontend.engine import is_solved as eng_solved
+
+    order = []
+
+    class D(Circuit):
+        x = Secret()
+
+        def define(self, api):
+            api.defer_(lambda a: order.append("first"))
+
+            def second(a):
+                a.assert_is_equal(a.mul(self.x, self.x), 9)
+                a.defer_(lambda a2: order.append("nested"))
+
+            api.defer_(second)
+
+    assert eng_solved(D(x=3), Q)
+    assert not eng_solved(D(x=2), Q)
+    order.clear()
+    cs = compile_circuit(Q, D)
+    assert order == ["first", "nested"]
+    assert cs.nb_constraints >= 1
+    cs2 = compile_circuit(Q, D, builder="scs")
+    assert cs2.nb_gates >= 1

@@ -126,6 +126,82 @@ class _TileField:
         return self._cond_sub_p(self._carry(self._p_rows(a) - a, self.K))
 
 
+class _TileFieldMXU(_TileField):
+    """_TileField with the REDC products on the MXU (ROADMAP #1b).
+
+    t = x·y stays the VPU schoolbook, but m = t·N' mod R and u = m·p are by
+    CONSTANTS — expressed as (C, K8)ᵀ Toeplitz matmuls over 8-bit limb rows,
+    so 2/3 of the kernel's integer multiplies ride the systolic array while
+    everything stays in VMEM. Bit-identical to _TileField.mul (the standard
+    bound audit: relaxed limbs ≤ 256 keep the bf16-fed dots exact, the REDC
+    sum's low half ∈ {0, R}).
+
+    The Toeplitz matrices cannot be captured as array constants by Mosaic
+    kernels — PallasEC passes them as broadcast kernel inputs and stashes
+    the refs on this object before tracing the tile function.
+    """
+
+    def __init__(self, F: LimbField):
+        super().__init__(F)
+        from .mxu_field import _toeplitz_u8
+
+        K8 = 2 * F.K
+        self.K8 = K8
+        # transposed so column-form products need no in-kernel transposes:
+        # out_cols (C, B) = Wᵀ (C, K8) @ x_cols (K8, B)
+        self.npT_host = np.ascontiguousarray(
+            _toeplitz_u8(F.nprime, K8)[:, :K8].T
+        ).astype(np.float32)  # (K8, K8)
+        self.pT_host = np.ascontiguousarray(
+            _toeplitz_u8(F.modulus, K8).T
+        ).astype(np.float32)  # (2K8, K8)
+        self._np_mat = None  # set per kernel trace from the input refs
+        self._p_mat = None
+
+    def _relax_rows(self, v, rounds: int, bits: int):
+        mask = (1 << bits) - 1
+        for _ in range(rounds):
+            lo = v & mask
+            c = v >> bits
+            v = lo + jnp.concatenate(
+                [jnp.zeros_like(c[:1]), c[:-1]], axis=0
+            )
+        return v
+
+    def mul(self, a, b):
+        K, K8 = self.K, self.K8
+        t = self._wide_cols(a, b)          # (2K+1, B) int32 ≤ 2^21
+        t = self._relax_rows(t, 2, 16)     # rows ≤ 2^16
+        lo = t & 0xFF
+        hi = t >> 8                        # ≤ 256 (bf16-exact)
+        t8 = jnp.stack([lo, hi], axis=1).reshape(
+            2 * t.shape[0], t.shape[1]
+        )[: 2 * K8 + 1]                    # (2K8+1, B)
+        f32 = jnp.float32
+        m_cols = jnp.dot(
+            self._np_mat, t8[:K8].astype(f32),
+            preferred_element_type=f32,
+        ).astype(jnp.int32)                # (K8, B)
+        m8 = self._relax_rows(m_cols, 3, 8)  # ≤ 256 → m_val < 1.004·R
+        u_cols = jnp.dot(
+            self._p_mat, m8.astype(f32), preferred_element_type=f32,
+        ).astype(jnp.int32)                # (2K8, B)
+        s = t8 + jnp.concatenate(
+            [u_cols, jnp.zeros_like(u_cols[:1])], axis=0
+        )
+        s = self._relax_rows(s, 3, 8)      # ≤ 257
+        # low half of the R-divisible sum is 0 or exactly R
+        carry = jnp.any(s[:K8] != 0, axis=0).astype(jnp.int32)  # (B,)
+        hi_rows = s[K8 : K8 + K8]          # (K8, B); top slack row is 0
+        pairs = hi_rows.reshape(K, 2, hi_rows.shape[1])
+        cols16 = pairs[:, 0] + (pairs[:, 1] << 8)  # (K, B) ≤ 2^17
+        cols16 = jnp.concatenate(
+            [cols16[:1] + carry[None, :], cols16[1:]], axis=0
+        )
+        res = self._carry(cols16, K)
+        return self._cond_sub_p(res)
+
+
 class _TileField2:
     """Fp2 on pairs of tiles (u² = −1), mirroring ops/ec.DevField2."""
 
@@ -252,10 +328,16 @@ class PallasEC:
 
     def __new__(cls, F: LimbField, b3_host, fp2: bool = False,
                 interpret: bool = False):
-        key = (F.modulus, F.K, repr(b3_host), fp2, interpret)
+        import os
+
+        mxu = (not fp2) and os.environ.get(
+            "GNARK_TPU_PALLAS_MXU", "0"
+        ) == "1"
+        key = (F.modulus, F.K, repr(b3_host), fp2, interpret, mxu)
         if key in cls._cache:
             return cls._cache[key]
         self = super().__new__(cls)
+        self._mxu = mxu
         cls._cache[key] = self
         return self
 
@@ -268,7 +350,8 @@ class PallasEC:
         self.K = F.K
         self.fp2 = fp2
         self.interpret = interpret
-        base = _TileField(F)
+        self.mxu = getattr(self, "_mxu", False)
+        base = _TileFieldMXU(F) if self.mxu else _TileField(F)
         self.tf = _TileField2(base) if fp2 else base
         if fp2:
             c0 = np.asarray(int_to_limbs(
@@ -301,6 +384,17 @@ class PallasEC:
             row = jnp.asarray(self.b3_tiles)
         return [jnp.broadcast_to(row, (BLOCK, row.shape[0])).astype(I32)]
 
+    def _mxu_leaves(self):
+        """Toeplitz REDC matrices as lane-padded f32 inputs (MXU mode)."""
+        if not self.mxu:
+            return []
+        base = self.tf if not self.fp2 else self.tf.base
+        npT = np.zeros((base.K8, 128), np.float32)
+        npT[:, : base.K8] = base.npT_host
+        pT = np.zeros((2 * base.K8, 128), np.float32)
+        pT[:, : base.K8] = base.pT_host
+        return [jnp.asarray(npT), jnp.asarray(pT)]
+
     def _coords_from_blocks(self, blocks, n_coords):
         """kernel refs -> list of coords (tiles or packed tile pairs)."""
         K = self.K
@@ -328,10 +422,16 @@ class PallasEC:
 
         lpc_b3 = 1  # b3 rides as one trailing (1, K|2K) input
 
+        n_mxu = 2 if self.mxu else 0
+
         def kernel(*refs):
             ins = refs[:n_in]
             b3_ref = refs[n_in]
-            outs = refs[n_in + lpc_b3 :]
+            if self.mxu:  # Toeplitz REDC matrices ride as inputs
+                base_tf = self.tf
+                base_tf._np_mat = refs[n_in + 1][:][:, : base_tf.K8]
+                base_tf._p_mat = refs[n_in + 2][:][:, : base_tf.K8]
+            outs = refs[n_in + lpc_b3 + n_mxu :]
             coords = self._coords_from_blocks(ins, n_in_coords)
             b3_t = _t(b3_ref[:])  # (K|2K, BLOCK), columns identical
             if self.fp2:
@@ -363,7 +463,12 @@ class PallasEC:
                 ] * n_in + [
                     pl.BlockSpec((BLOCK, KW), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
-                ] * lpc_b3,
+                ] * lpc_b3 + ([
+                    pl.BlockSpec((2 * K, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((4 * K, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ] if self.mxu else []),
                 out_specs=[
                     pl.BlockSpec((BLOCK, KW), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -372,7 +477,7 @@ class PallasEC:
                     jax.ShapeDtypeStruct((n + pad, KW), jnp.int32)
                 ] * n_out,
                 interpret=self.interpret,
-            )(*leaves, *self._b3_leaves())
+            )(*leaves, *self._b3_leaves(), *self._mxu_leaves())
             if pad:
                 out = [o[:n] for o in out]
             return out

@@ -343,6 +343,27 @@ class EmulatedField:
             out.extend(self.api.to_binary(limb, self.w))
         return out
 
+    def from_native(self, v) -> Element:
+        """Bind a NATIVE circuit variable to an emulated element of this
+        field (≙ emulated.Field.NewElement over a frontend.Variable — the
+        recursion verifiers' bridge from native public inputs to emulated
+        scalars). Requires p ≥ q so every native value has a canonical
+        representation; the full-width bit decomposition plus the canonical
+        check pins the unique encoding (the +q alias of small values would
+        fail assert_canonical when p == q, and cannot fit when p > q)."""
+        assert self.p >= self.q, "native field does not embed in this field"
+        api = self.api
+        n = self.q.bit_length()
+        bits = api.to_binary(v, n)
+        bits = bits + [0] * (self.k * self.w - n)
+        limbs = [
+            api.from_binary(bits[i * self.w:(i + 1) * self.w])
+            for i in range(self.k)
+        ]
+        e = Element(limbs, 1 << self.w)
+        self.assert_canonical(e)
+        return e
+
     def from_foreign(self, a: Element, other: "EmulatedField") -> Element:
         """Reinterpret another field's element (same limb layout) as a value
         mod this field's modulus — e.g. an Fp x-coordinate reduced mod the

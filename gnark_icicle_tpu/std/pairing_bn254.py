@@ -209,3 +209,21 @@ class BN254Pairing:
             f = e12.mul(f, self.miller_loop(p1, q2))
         res = self.final_exponentiation(f)
         e12.assert_equal(res, e12.one())
+
+    def gt_constant(self, v):
+        """Host Fp12 → gadget constant (e.g. the precomputed e(α, β))."""
+        def c6(h6):
+            return tuple(self._c2(c) for c in (h6.b0, h6.b1, h6.b2))
+
+        return (c6(v.a0), c6(v.a1))
+
+    def assert_pairing_equal(self, pairs, gt_const):
+        """Constrain ∏ e(Pᵢ, Qᵢ) == gt_const (host Fp12) — the Groth16
+        verification equation shape with the precomputed e(α, β) on the
+        right-hand side."""
+        e12 = self.e12
+        f = e12.one()
+        for p1, q2 in pairs:
+            f = e12.mul(f, self.miller_loop(p1, q2))
+        res = self.final_exponentiation(f)
+        e12.assert_equal(res, self.gt_constant(gt_const))

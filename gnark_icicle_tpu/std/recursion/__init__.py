@@ -1,0 +1,8 @@
+"""In-circuit proof verification — recursion gadgets.
+
+Role parity: reference std/recursion (groth16/verifier.go,
+plonk/verifier.go) — verify an inner proof inside an outer circuit, built
+on the emulated curve/pairing gadgets.
+"""
+
+from .groth16 import Groth16Verifier, VerifierProof  # noqa: F401

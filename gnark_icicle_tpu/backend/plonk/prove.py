@@ -26,7 +26,7 @@ import numpy as np
 from ...constraint.scs import SparseR1CS, solve_scs
 from ...device import DeviceCtx
 from ..kzg import KZG
-from ..transcript import Transcript
+from ..transcript import Transcript, make_transcript
 from .keys import ProvingKey, Proof
 
 EVAL_ORDER = (
@@ -153,7 +153,8 @@ def _quotient_device(ctx, dom4, ev, n, beta, gamma, alpha, k1, k2, g, eta, q):
 
 
 def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
-          curve, rng=None, checkpoint_dir: str | None = None) -> Proof:
+          curve, rng=None, checkpoint_dir: str | None = None,
+          fs_hash: str = "sha256") -> Proof:
     """PLONK prove; checkpoint_dir persists the expensive stages (witness
     solve, round-1 wire commitments incl. their blinding, permutation Z,
     quotient) so a preempted run resumes — same scheme as groth16.prove."""
@@ -246,7 +247,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     bv += [0] * (n - len(bv))
     cv += [0] * (n - len(cv))
 
-    ts = Transcript(q)
+    ts = make_transcript(q, fs_hash)
     for v in public_values:
         ts.absorb_fr(v)
 

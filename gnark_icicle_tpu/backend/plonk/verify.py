@@ -10,7 +10,7 @@ oracle path.
 from __future__ import annotations
 
 from ..kzg import KZG, SRS
-from ..transcript import Transcript
+from ..transcript import make_transcript
 from .keys import VerifyingKey, Proof
 from .prove import eval_order_for
 
@@ -19,7 +19,8 @@ class PlonkVerificationError(Exception):
     pass
 
 
-def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
+def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
+           fs_hash: str = "sha256") -> None:
     q = curve.fr.modulus
     if len(public_values) != vk.nb_public:
         raise PlonkVerificationError(
@@ -34,7 +35,7 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
     order = eval_order_for(nb_commitments)
 
     # ---- replay the transcript --------------------------------------------
-    ts = Transcript(q)
+    ts = make_transcript(q, fs_hash)
     for v in public_values:
         ts.absorb_fr(v)
     for cm in (proof.a_com, proof.b_com, proof.c_com):
@@ -139,9 +140,10 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
         raise PlonkVerificationError("KZG opening of Z at omega*zeta fails")
 
 
-def is_valid(proof: Proof, vk: VerifyingKey, public_values, curve) -> bool:
+def is_valid(proof: Proof, vk: VerifyingKey, public_values, curve,
+             fs_hash: str = "sha256") -> bool:
     try:
-        verify(proof, vk, public_values, curve)
+        verify(proof, vk, public_values, curve, fs_hash=fs_hash)
         return True
     except PlonkVerificationError:
         return False

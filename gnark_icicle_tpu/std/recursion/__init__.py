@@ -6,3 +6,4 @@ on the emulated curve/pairing gadgets.
 """
 
 from .groth16 import Groth16Verifier, VerifierProof  # noqa: F401
+from .plonk import PlonkVerifier, PlonkVerifierProof  # noqa: F401

@@ -37,6 +37,7 @@ plain (non-Montgomery) 16-bit-limb arrays. The result is one projective point.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -181,6 +182,114 @@ class MSMKernel:
         return self.curve.add(self._double_k_scan(hi_part, log_l), w_cols)
 
     # ------------------------------------------------------------------
+    # transposed wave accumulation (the hot 95%; PERF_NOTES.md)
+    # ------------------------------------------------------------------
+    def _wave_accumulate_t(self, tc, points, order_flat, sign_flat,
+                           starts_p, counts_p, win_of_lane, stage_sizes,
+                           n, L, inv_order):
+        """Staged-wave bucket accumulation with (K, L) transposed
+        accumulators and fused Pallas adds. Returns transposed buckets,
+        per coord (K, W·B), in (window, bucket) order."""
+        K = tc.K
+        packed = jnp.concatenate([points[0], points[1]], axis=1)  # (N, 2K)
+        acc = tc.identity(L)
+
+        def make_wave(S, meta):
+            starts_s, counts_s, win_s = meta
+
+            def wave(state):
+                t, acc_s = state
+                idx_sorted = jnp.clip(starts_s + t, 0, n - 1)
+                valid = t < counts_s
+                flat_idx = win_s * n + idx_sorted
+                pt_idx = order_flat[flat_idx]
+                g = packed[pt_idx]                # (S, 2K) row gather
+                gt = jnp.transpose(g, (1, 0))
+                q = (gt[:K], gt[K:2 * K])
+                sg = sign_flat[flat_idx].astype(jnp.int32)
+                return t + 1, tc.add_mixed_masked(acc_s, q, valid, sg)
+
+            return wave
+
+        t = jnp.int32(0)
+        for si, S in enumerate(stage_sizes):
+            meta = (starts_p[:S], counts_p[:S], win_of_lane[:S])
+            wave = make_wave(S, meta)
+            if si + 1 < len(stage_sizes):
+                t_stop = counts_p[stage_sizes[si + 1]]
+            else:
+                t_stop = counts_p[0]
+            acc_s = tuple(a[:, :S] for a in acc)
+            t, acc_s = jax.lax.while_loop(
+                lambda st: st[0] < t_stop, wave, (t, acc_s)
+            )
+            acc = tuple(
+                jax.lax.dynamic_update_slice(full, part, (0, 0))
+                for full, part in zip(acc, acc_s)
+            )
+
+        return tuple(a[:, inv_order] for a in acc)
+
+    # ------------------------------------------------------------------
+    # transposed bucket reduction (mirrors _bucket_reduce, TCurve ops)
+    # ------------------------------------------------------------------
+    def _suffix_scan_t(self, tc, P, m: int):
+        """Inclusive suffix sums along the LAST axis of (K, ..., m)-shaped
+        transposed coords, with TCurve full adds on flattened lanes."""
+        if m == 1:
+            return P
+        K = P[0].shape[0]
+        steps = int(np.ceil(np.log2(m)))
+        lane = jnp.arange(m)
+        for k in range(steps):
+            shift = 1 << k
+            rolled = tuple(jnp.roll(a, -shift, axis=-1) for a in P)
+            flat = lambda t_: tuple(a.reshape(K, -1) for a in t_)
+            added = tc.add(flat(P), flat(rolled))
+            added = tuple(a.reshape(P[0].shape) for a in added)
+            mask = (lane + shift) < m
+            P = tuple(jnp.where(mask, a_n, a_o)
+                      for a_n, a_o in zip(added, P))
+        return P
+
+    def _weighted_sum_t(self, tc, P, m: int):
+        """Σ (i+1)·P_i along the last axis (drops it)."""
+        s = self._suffix_scan_t(tc, self._suffix_scan_t(tc, P, m), m)
+        return tuple(a[..., 0] for a in s)
+
+    def _bucket_reduce_t(self, tc, buckets_t, W: int, B: int):
+        """Σ_b (b+1)·bucket[w, b] per window, fully transposed; returns
+        (W, K) per-coord arrays for the (tiny) Horner phase."""
+        K = buckets_t[0].shape[0]
+        grid = tuple(a.reshape(K, W, B) for a in buckets_t)
+        if B <= 128:
+            res = self._weighted_sum_t(tc, grid, B)  # (K, W)
+        else:
+            log_b = (B - 1).bit_length()
+            log_l = log_b // 2
+            L = 1 << log_l
+            H = B // L
+            assert H * L == B
+            g = tuple(a.reshape(K, W, H, L) for a in grid)
+            rows = tuple(a[..., 0] for a in
+                         self._suffix_scan_t(tc, g, L))        # (K, W, H)
+            g_t = tuple(jnp.swapaxes(a, -1, -2) for a in g)
+            cols = tuple(a[..., 0] for a in
+                         self._suffix_scan_t(tc, g_t, H))      # (K, W, L)
+            s1 = self._suffix_scan_t(tc, rows, H)
+            tot_rows = tuple(a[..., 0] for a in s1)            # (K, W)
+            w_rows = tuple(a[..., 0] for a in
+                           self._suffix_scan_t(tc, s1, H))
+            neg_tot = (tot_rows[0],
+                       tc._neg(tot_rows[1]), tot_rows[2])
+            hi = tc.add(w_rows, neg_tot)                       # Σ hi·R_hi
+            for _ in range(log_l):
+                hi = tc.double(hi)
+            w_cols = self._weighted_sum_t(tc, cols, L)
+            res = tc.add(hi, w_cols)                           # (K, W)
+        return tuple(jnp.transpose(a, (1, 0)) for a in res)
+
+    # ------------------------------------------------------------------
     # the kernel
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 4))
@@ -236,11 +345,6 @@ class MSMKernel:
         order_flat = order.reshape(-1)  # (W·N,)
         sign_flat = sorted_sign.reshape(-1)
 
-        x_proto = jax.tree.map(
-            lambda a: jnp.zeros((L,) + a.shape[1:], a.dtype), points[0]
-        )
-        acc = curve.identity_like(x_proto)
-
         stage_sizes = []
         s = L
         while s >= 1024 and len(stage_sizes) < 4:
@@ -248,6 +352,42 @@ class MSMKernel:
             s //= 4
         if not stage_sizes:
             stage_sizes = [L]
+
+        # ---- transposed fused-kernel wave (PERF_NOTES.md) -----------------
+        # G1 on TPU: accumulators live as (K, L) transposed limb arrays and
+        # each wave step is ONE fused Pallas add_mixed kernel (sign + mask
+        # folded in) — ~7x the (N, K) jnp field-op rate.
+        from .ec import DevField
+
+        use_t = (
+            isinstance(curve.f, DevField)
+            and os.environ.get("GNARK_TPU_T_MSM", "1") != "0"
+            and jax.default_backend() == "tpu"
+        )
+        if use_t:
+            from .ec_t import TCurve
+
+            tc = TCurve(self.curve.f.F, self.curve.b3_host)
+            buckets_t = self._wave_accumulate_t(
+                tc, points, order_flat, sign_flat, starts_p, counts_p,
+                win_of_lane, stage_sizes, n, L, inv_order,
+            )
+            per_window = self._bucket_reduce_t(tc, buckets_t, W, B)
+            acc = jax.tree.map(lambda a: a[W - 1], per_window)
+            if W > 1:
+                tail = jax.tree.map(lambda a: a[W - 2 :: -1], per_window)
+
+                def horner(x, s_w):
+                    x = self._double_k_scan(x, c)
+                    return curve.add(x, s_w), None
+
+                acc, _ = jax.lax.scan(horner, acc, tail)
+            return acc
+
+        x_proto = jax.tree.map(
+            lambda a: jnp.zeros((L,) + a.shape[1:], a.dtype), points[0]
+        )
+        acc = curve.identity_like(x_proto)
 
         def make_wave(S, acc_slice_meta):
             starts_s, counts_s, win_s = acc_slice_meta

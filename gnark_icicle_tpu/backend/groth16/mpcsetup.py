@@ -167,25 +167,45 @@ class Phase1:
 
     def verify(self) -> None:
         """Pairing consistency of the final accumulator + continuity chain
-        (≙ VerifyPhase1, phase1.go:95-135)."""
+        (≙ VerifyPhase1, phase1.go:95-196).
+
+        Every ladder is checked over its FULL length via random linear
+        combinations (≙ linearCombinationG1/G2 + sameRatio in the
+        reference's verifyPhase1): for random rᵢ,
+        e(Σ rᵢ·P[i+1], g₂) == e(Σ rᵢ·P[i], [τ]₂) holds for all random
+        choices only if P[i+1] = τ·P[i] for every i — so a malicious
+        contributor cannot hide arbitrary points anywhere in tau_g1,
+        alpha_tau_g1, beta_tau_g1, or tau_g2 (the G2 ladder is anchored
+        the same way through [τ]₁)."""
         c = self.curve
         e = c.miller_and_final_exp
         g1, g2 = c.g1.generator, c.g2.generator
-        # ladder well-formedness: e(τ^{i+1}₁, g₂) == e(τ^i₁, τ₂)
-        for i in range(min(len(self.tau_g1) - 1, len(self.tau_g2) * 2 - 2)):
-            lhs = e([self.tau_g1[i + 1]], [g2])
-            rhs = e([self.tau_g1[i]], [self.tau_g2[1]])
-            if lhs != rhs:
-                raise ValueError(f"tau ladder inconsistent at {i}")
-        # alpha/beta ladders ride the same tau
-        if e([self.alpha_tau_g1[1]], [g2]) != e(
-            [self.alpha_tau_g1[0]], [self.tau_g2[1]]
-        ):
+
+        def lin_comb(group, pts, coeffs):
+            acc = None
+            for p, r in zip(pts, coeffs):
+                acc = group.add(acc, group.scalar_mul(p, r))
+            return acc
+
+        def ladder_ok_g1(pts) -> bool:
+            # P[i+1] = τ·P[i] for all i, batched into one sameRatio
+            rs = [secrets.randbits(127) + 1 for _ in range(len(pts) - 1)]
+            base = lin_comb(c.g1, pts[:-1], rs)
+            shift = lin_comb(c.g1, pts[1:], rs)
+            return _same_ratio(c, shift, base, g2, self.tau_g2[1])
+
+        if not ladder_ok_g1(self.tau_g1):
+            raise ValueError("tau ladder inconsistent")
+        if not ladder_ok_g1(self.alpha_tau_g1):
             raise ValueError("alpha ladder inconsistent")
-        if e([self.beta_tau_g1[1]], [g2]) != e(
-            [self.beta_tau_g1[0]], [self.tau_g2[1]]
-        ):
+        if not ladder_ok_g1(self.beta_tau_g1):
             raise ValueError("beta ladder inconsistent")
+        # G2 ladder: e([τ]₁, Σ rᵢ·τ₂[i]) == e(g₁, Σ rᵢ·τ₂[i+1])
+        rs = [secrets.randbits(127) + 1 for _ in range(len(self.tau_g2) - 1)]
+        base2 = lin_comb(c.g2, self.tau_g2[:-1], rs)
+        shift2 = lin_comb(c.g2, self.tau_g2[1:], rs)
+        if not _same_ratio(c, self.tau_g1[1], g1, base2, shift2):
+            raise ValueError("tau G2 ladder inconsistent")
         # beta_g2 matches beta_tau_g1[0]
         if e([self.beta_tau_g1[0]], [g2]) != e([g1], [self.beta_g2]):
             raise ValueError("beta_g2 mismatch")

@@ -172,6 +172,10 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
             b"g16ck" + cs.nb_constraints.to_bytes(8, "big")
             + pk.domain_log_n.to_bytes(2, "big")
             + b"".join(int(v).to_bytes(32, "big") for v in public_values)
+            # bind the secret witness too: resuming with different secrets
+            # must invalidate the saved solved witness
+            + b"|sec|"
+            + b"".join(int(v % q).to_bytes(32, "big") for v in secret_values)
         ).digest()
         ck = _Checkpoint(checkpoint_dir, binding)
 

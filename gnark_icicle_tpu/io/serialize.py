@@ -108,6 +108,8 @@ def g1_from_bytes(curve, data: bytes, offset: int = 0):
         y = int.from_bytes(data[offset + nb : offset + 2 * nb], "big")
         if x == 0 and y == 0:
             return None, 2 * nb
+        if x >= p or y >= p:  # ≙ gnark-crypto SetBytes canonicality
+            raise ValueError("G1 coordinate not canonical (>= p)")
         pt = (x, y)
         if not curve.g1.is_on_curve(pt):
             raise ValueError("G1 point not on curve")
@@ -117,6 +119,8 @@ def g1_from_bytes(curve, data: bytes, offset: int = 0):
     xb = bytearray(data[offset : offset + nb])
     xb[0] &= ~M_MASK & 0xFF
     x = int.from_bytes(bytes(xb), "big")
+    if x >= p:
+        raise ValueError("G1 coordinate not canonical (>= p)")
     y2 = (pow(x, 3, p) + curve.g1.b) % p
     y = _sqrt_fp(y2, p)
     if y is None:
@@ -157,6 +161,7 @@ def g2_from_bytes(curve, data: bytes, offset: int = 0):
     nb = curve.fp.nb_bytes
     tp = curve.tower
     flag = data[offset] & M_MASK
+    p = curve.fp.modulus
     if flag == M_UNCOMPRESSED:
         vals = [
             int.from_bytes(data[offset + i * nb : offset + (i + 1) * nb], "big")
@@ -164,6 +169,8 @@ def g2_from_bytes(curve, data: bytes, offset: int = 0):
         ]
         if all(v == 0 for v in vals):
             return None, 4 * nb
+        if any(v >= p for v in vals):
+            raise ValueError("G2 coordinate not canonical (>= p)")
         x = Fp2(tp, vals[1], vals[0])
         y = Fp2(tp, vals[3], vals[2])
         pt = (x, y)
@@ -176,6 +183,8 @@ def g2_from_bytes(curve, data: bytes, offset: int = 0):
     xb[0] &= ~M_MASK & 0xFF
     x1 = int.from_bytes(bytes(xb[:nb]), "big")
     x0 = int.from_bytes(bytes(xb[nb:]), "big")
+    if x0 >= p or x1 >= p:
+        raise ValueError("G2 coordinate not canonical (>= p)")
     x = Fp2(tp, x0, x1)
     y2 = x * x * x + curve.g2.b
     y = _sqrt_fp2(y2)

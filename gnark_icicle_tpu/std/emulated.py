@@ -328,16 +328,25 @@ class EmulatedField:
         return self.mul(a, self.inverse(b))
 
     def is_zero(self, a: Element):
-        """Native boolean: 1 iff a ≡ 0 (mod p)."""
+        """Native boolean: 1 iff a ≡ 0 (mod p).
+
+        The hint remainder from reduce() is only limb-width-bounded, so a
+        malicious witness could encode 0 as p; assert_canonical pins the
+        unique representative before the limb-wise zero test."""
         r = self.reduce(a)
+        self.assert_canonical(r)
         z = self.api.is_zero(r.limbs[0])
         for limb in r.limbs[1:]:
             z = self.api.and_(z, self.api.is_zero(limb))
         return z
 
     def bits(self, a: Element):
-        """k·w little-endian bits of the canonical value (≙ Field.ToBits)."""
+        """k·w little-endian bits of the canonical value (≙ Field.ToBits).
+
+        assert_canonical forces the unique (< p) decomposition — without it
+        a prover could exhibit the +p alias of a small value."""
         r = self.reduce(a)
+        self.assert_canonical(r)
         out = []
         for limb in r.limbs:
             out.extend(self.api.to_binary(limb, self.w))

@@ -50,6 +50,33 @@ def test_phase1_verify_catches_tamper():
         p1.verify()
 
 
+def test_phase1_verify_catches_malicious_ladder_tail():
+    """A malicious contributor plants garbage deep in the ladders and
+    recomputes the transcript hash over the corrupted state — only the
+    full-ladder random-linear-combination pairing checks can catch this
+    (≙ phase1.go:169-190 full AlphaTau/BetaTau/G2.Tau validation)."""
+    for attr, idx in (("alpha_tau_g1", 2), ("beta_tau_g1", 3),
+                      ("tau_g1", 4)):
+        rng = random.Random(96)
+        p1 = Phase1.init(CURVE, 4)
+        p1.contribute(rng=rng)
+        pts = getattr(p1, attr)
+        pts[idx] = CURVE.g1.scalar_mul(CURVE.g1.generator, 31337)
+        # the attacker controls the contribution, so the recorded post-hash
+        # matches the corrupted state
+        p1.contributions[-1]["post_hash"] = p1.state_hash()
+        with pytest.raises(ValueError, match="ladder"):
+            p1.verify()
+    # G2 tail (i >= 2 was previously unchecked entirely)
+    rng = random.Random(97)
+    p1 = Phase1.init(CURVE, 4)
+    p1.contribute(rng=rng)
+    p1.tau_g2[2] = CURVE.g2.scalar_mul(CURVE.g2.generator, 31337)
+    p1.contributions[-1]["post_hash"] = p1.state_hash()
+    with pytest.raises(ValueError, match="ladder"):
+        p1.verify()
+
+
 def test_phase1_initial_state_is_generators():
     p1 = Phase1.init(CURVE, 4)
     assert p1.tau_g1[0] == CURVE.g1.generator

@@ -1,12 +1,11 @@
 """PLONK key/proof objects.
 
 Role parity: reference backend/plonk/bn254/setup.go:60-79 Trace{Ql..Qo,Qk,
-S1-3}, ProvingKey/VerifyingKey, prove.go:91-109 Proof. Openings here are
-"open-everything-at-ζ": the proof carries evaluation values for the selector
-and permutation polynomials too, folded into one batched KZG opening — more
-values than gnark's linearization-trick proof but the same two pairing
-checks; gnark-byte-format proofs are a later milestone (documented in
-prove.py).
+S1-3}, ProvingKey/VerifyingKey, prove.go:91-109 Proof. The proof uses
+gnark's linearization-trick shape: wire/permutation/quotient commitments,
+one batched KZG opening at ζ of [linearized poly, L, R, O, S1, S2, Qcp...]
+(claimed values in that order, ≙ BatchedProof.ClaimedValues), and the
+shifted opening of Z at ωζ (≙ ZShiftedOpening).
 """
 
 from __future__ import annotations
@@ -22,6 +21,7 @@ class ProvingKey:
     k2: int
     srs: object  # kzg.SRS
     sigma: list  # permutation on 3n positions (for Z construction)
+    vk: object = None  # VerifyingKey (≙ pk.Vk — the FS transcript binds it)
 
 
 @dataclass
@@ -35,24 +35,23 @@ class VerifyingKey:
     g2_tau: tuple
     omega: int
     # BSB22: rows whose Qk value is the injected commitment hash
-    # (≙ vk.CommitmentConstraintIndexes)
+    # (≙ vk.CommitmentConstraintIndexes; ours are ABSOLUTE gate rows —
+    # gnark stores them relative to NbPublicVariables, verify.go:183)
     commitment_constraint_indexes: list = field(default_factory=list)
 
 
 @dataclass
 class Proof:
-    # round commitments
-    a_com: tuple
-    b_com: tuple
-    c_com: tuple
-    z_com: tuple
-    t_coms: tuple  # (T1, T2, T3)
-    # openings at ζ: name -> value (a, b, c, s1, s2, s3, ql, qr, qm, qo, qk,
-    # t1, t2, t3) and z_omega at ωζ
-    evals: dict
-    z_omega_eval: int
-    batch_proof: tuple  # KZG proof for the folded ζ opening
-    z_omega_proof: tuple  # KZG proof for Z at ωζ
+    """≙ prove.go:91-109 Proof{LRO, Z, H, BatchedProof, ZShiftedOpening,
+    Bsb22Commitments}."""
+
+    lro: tuple           # (A, B, C) wire commitments
+    z_com: tuple         # permutation product commitment
+    h_coms: tuple        # (H1, H2, H3) quotient shards
+    batch_h: tuple       # BatchedProof.H — folded ζ-opening quotient
+    batch_claimed: list  # ClaimedValues: [lin, l, r, o, s1, s2, qcp...]
+    z_shifted_h: tuple   # ZShiftedOpening.H
+    z_shifted_claimed: int  # Z(ωζ)
     # BSB22: KZG commitments to the per-commitment PI2 polynomials
     # (≙ proof.Bsb22Commitments, setup.go:102)
     bsb22_commitments: list = field(default_factory=list)

@@ -1,20 +1,30 @@
 """PLONK Prove: trace solve → commitments → permutation Z → quotient →
-batched KZG openings.
+linearized polynomial → batched KZG opening (gnark proof shape).
 
 Role parity: reference backend/plonk/bn254/prove.go:111 (9-stage pipeline,
 SURVEY.md §3.5). Device work: the Lagrange↔coefficient NTTs, the 4n-coset
 evaluation NTTs, and every KZG commitment MSM. Host work: witness solve,
-permutation product, Fiat-Shamir, blinding, and the 4n pointwise quotient
-assembly (batched onto device in a later perf pass — the MSMs/NTTs dominate).
+permutation product, Fiat-Shamir, blinding, linearized-poly assembly.
 
-Proof shape difference (documented in keys.py): instead of gnark's
-linearization trick we open all trace polynomials at ζ and fold everything
-into one batched KZG proof (+ one for Z(ωζ)) — same soundness argument, two
-pairing checks, a few extra field elements of proof. The quotient identity:
+Proof shape (≙ prove.go:656 innerComputeLinearizedPoly + :739-764
+batchOpening): instead of opening every trace polynomial, the prover
+commits the linearized polynomial
+
+    r(X) = l·Ql + r·Qr + lr·Qm + o·Qo + Qk + Σ qcpᵢ(ζ)·PI2ᵢ
+         + α(l+βs1+γ)(r+βs2+γ)βZ(ωζ)·S3
+         + [α²L₁(ζ) − α(l+βζ+γ)(r+βk₁ζ+γ)(o+βk₂ζ+γ)]·Z
+         − Z_H(ζ)(H₁ + ζⁿ⁺²H₂ + ζ²⁽ⁿ⁺²⁾H₃)
+
+and batch-opens [r, L, R, O, S1, S2, Qcp...] at ζ plus Z at ωζ. The
+quotient identity (note the permutation term's gnark sign):
 
     Ql·A + Qr·B + Qm·AB + Qo·C + Qk + PI(X)
-  + α·[ (A+βX+γ)(B+βk1X+γ)(C+βk2X+γ)·Z − (A+βS1+γ)(B+βS2+γ)(C+βS3+γ)·Z(ωX) ]
+  + α·[ (A+βS1+γ)(B+βS2+γ)(C+βS3+γ)·Z(ωX) − (A+βX+γ)(B+βk1X+γ)(C+βk2X+γ)·Z ]
   + α²·L1(X)·(Z(X)−1)  =  T(X)·(Xⁿ−1)
+
+Fiat-Shamir follows gnark's byte format exactly for fs_hash="sha256"
+(gamma binds vk trace commitments + publics + LRO, then beta, alpha, zeta
+— verify.go:93-126, transcript.GnarkTranscript).
 """
 
 from __future__ import annotations
@@ -26,21 +36,10 @@ import numpy as np
 from ...constraint.scs import SparseR1CS, solve_scs
 from ...device import DeviceCtx
 from ..kzg import KZG
-from ..transcript import Transcript, make_transcript
+from ..transcript import make_transcript, kzg_fold_challenge
 from .keys import ProvingKey, Proof
 
-EVAL_ORDER = (
-    "a", "b", "c", "z", "s1", "s2", "s3", "ql", "qr", "qm", "qo", "qk",
-    "t1", "t2", "t3",
-)
-
-
-def eval_order_for(nb_commitments: int) -> list:
-    """Opening order incl. the BSB22 columns (qcp_i, pi2_i per commitment) —
-    shared by prover and verifier so the fold challenge powers line up."""
-    return list(EVAL_ORDER) + [
-        x for i in range(nb_commitments) for x in (f"qcp{i}", f"pi2_{i}")
-    ]
+CHALLENGES = (b"gamma", b"beta", b"alpha", b"zeta")
 
 
 def _mul_zh(coeffs: list, n: int, q: int) -> list:
@@ -64,6 +63,18 @@ def _eval_poly(coeffs: list, z: int, q: int) -> int:
     for c in reversed(coeffs):
         acc = (acc * z + c) % q
     return acc
+
+
+def bind_public_data(ts, curve, vk, public_values):
+    """≙ bindPublicData (verify.go:316-347): the first challenge absorbs
+    the permutation + selector commitments and the public inputs, so the
+    transcript binds the circuit/verifying key."""
+    for name in ("s1", "s2", "s3", "ql", "qr", "qm", "qo", "qk"):
+        ts.bind_point(b"gamma", curve, vk.commitments[name])
+    for i in range(len(vk.commitment_constraint_indexes)):
+        ts.bind_point(b"gamma", curve, vk.commitments[f"qcp{i}"])
+    for v in public_values:
+        ts.bind_fr(b"gamma", v)
 
 
 _DOMAIN_TABLES: dict = {}
@@ -141,7 +152,8 @@ def _quotient_device(ctx, dom4, ev, n, beta, gamma, alpha, k1, k2, g, eta, q):
     rhs = F.mont_mul(rhs, F.add(F.add(B, F.mont_mul(beta_m, ev["s2"])), gamma_m))
     rhs = F.mont_mul(rhs, F.add(F.add(C, F.mont_mul(beta_m, ev["s3"])), gamma_m))
     rhs = F.mont_mul(rhs, ev["zw"])
-    perm = F.sub(lhs, rhs)
+    # gnark's sign: s-side·Z(ωX) − id-side·Z (verify.go's constLin/coeffZ)
+    perm = F.sub(rhs, lhs)
 
     one = F.ones_mont((4 * n,)).astype(jnp.int32)
     start = F.mont_mul(l1, F.sub(ev["z"], one))
@@ -162,6 +174,8 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     rand = rng.randrange if rng is not None else (
         lambda m: secrets.randbelow(m - 1) + 1
     )
+    vk = pk.vk
+    assert vk is not None, "ProvingKey.vk required (rebuild keys via setup)"
     ck = None
     if checkpoint_dir is not None:
         import hashlib
@@ -172,6 +186,10 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             b"plonkck" + cs.nb_gates.to_bytes(8, "big")
             + pk.log_n.to_bytes(2, "big")
             + b"".join(int(v).to_bytes(32, "big") for v in public_values)
+            # bind the secret witness too: resuming with different secrets
+            # must invalidate the saved solved witness
+            + b"|sec|"
+            + b"".join(int(v % q).to_bytes(32, "big") for v in secret_values)
         ).digest()
         ck = _Checkpoint(checkpoint_dir, binding)
     ctx = DeviceCtx(curve)
@@ -247,9 +265,8 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     bv += [0] * (n - len(bv))
     cv += [0] * (n - len(cv))
 
-    ts = make_transcript(q, fs_hash)
-    for v in public_values:
-        ts.absorb_fr(v)
+    ts = make_transcript(q, list(CHALLENGES), fs_hash)
+    bind_public_data(ts, curve, vk, public_values)
 
     def blind(coeffs, degree):
         bs = [rand(q) for _ in range(degree + 1)]
@@ -269,9 +286,9 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             ck.save("round1",
                     (a_coeffs, b_coeffs, c_coeffs, a_com, b_com, c_com))
     for cm in (a_com, b_com, c_com):
-        ts.absorb_point(curve, cm)
-    beta = ts.challenge(b"beta")
+        ts.bind_point(b"gamma", curve, cm)
     gamma = ts.challenge(b"gamma")
+    beta = ts.challenge(b"beta")
 
     # ---- stage 2: permutation product Z ------------------------------------
     omega_pows = [1] * n
@@ -303,8 +320,8 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         if ck is not None:
             ck.save("round2", (z_coeffs, z_com))
     for cm in bsb22_coms:  # α binds the BSB22 commitments (≙ prove.go:471)
-        ts.absorb_point(curve, cm)
-    ts.absorb_point(curve, z_com)
+        ts.bind_point(b"alpha", curve, cm)
+    ts.bind_point(b"alpha", curve, z_com)
     alpha = ts.challenge(b"alpha")
 
     # ---- stage 3: quotient on the 4n coset ---------------------------------
@@ -325,7 +342,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     shard = n + 2
     quo = ck.load("quotient") if ck is not None else None
     if quo is not None:
-        t1, t2, t3, t_coms = quo
+        t1, t2, t3, h_coms = quo
     else:
         ev = {
             "a": coset4_evals_dev(a_coeffs),
@@ -352,51 +369,85 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         t3 = t_coeffs[2 * shard : 3 * shard]
         for c in t_coeffs[3 * shard :]:
             assert c == 0, "quotient degree overflow — identity violated"
-        t_coms = (
+        h_coms = (
             kzg.commit_mont(t_mont[:shard]),
             kzg.commit_mont(t_mont[shard : 2 * shard]),
             kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
         )
         if ck is not None:
-            ck.save("quotient", (t1, t2, t3, t_coms))
-    for cm in t_coms:
-        ts.absorb_point(curve, cm)
+            ck.save("quotient", (t1, t2, t3, h_coms))
+    for cm in h_coms:
+        ts.bind_point(b"zeta", curve, cm)
     zeta = ts.challenge(b"zeta")
 
-    # ---- stage 4: openings ---------------------------------------------------
-    polys = {
-        "a": a_coeffs, "b": b_coeffs, "c": c_coeffs, "z": z_coeffs,
-        "s1": pk.trace_coeffs["s1"], "s2": pk.trace_coeffs["s2"],
-        "s3": pk.trace_coeffs["s3"],
-        "ql": pk.trace_coeffs["ql"], "qr": pk.trace_coeffs["qr"],
-        "qm": pk.trace_coeffs["qm"], "qo": pk.trace_coeffs["qo"],
-        "qk": pk.trace_coeffs["qk"],  # committed Qk (no PI)
-        "t1": t1, "t2": t2, "t3": t3,
-    }
+    # ---- stage 4: linearized polynomial + openings -------------------------
+    # (≙ innerComputeLinearizedPoly, prove.go:1233-1319, and batchOpening,
+    # prove.go:739-764)
+    l_z = _eval_poly(a_coeffs, zeta, q)
+    r_z = _eval_poly(b_coeffs, zeta, q)
+    o_z = _eval_poly(c_coeffs, zeta, q)
+    s1_z = _eval_poly(pk.trace_coeffs["s1"], zeta, q)
+    s2_z = _eval_poly(pk.trace_coeffs["s2"], zeta, q)
+    qcp_z = [
+        _eval_poly(pk.trace_coeffs[f"qcp{i}"], zeta, q)
+        for i in range(len(commitment_info))
+    ]
+    zeta_w = zeta * omega % q
+    zu = _eval_poly(z_coeffs, zeta_w, q)
+    _, z_shifted_h = kzg.open(z_coeffs, zeta_w)
+
+    rl = l_z * r_z % q
+    cprod = (l_z + beta * s1_z + gamma) % q * (
+        (r_z + beta * s2_z + gamma) % q) % q
+    s1_coef = cprod * beta % q * zu % q * alpha % q
+    idp = (l_z + beta * zeta + gamma) % q
+    idp = idp * ((r_z + beta * k1 % q * zeta + gamma) % q) % q
+    idp = idp * ((o_z + beta * k2 % q * zeta + gamma) % q) % q
+    zh_z = (pow(zeta, n, q) - 1) % q
+    l1_z = zh_z * pow(n * (zeta - 1) % q, -1, q) % q
+    z_coef = (alpha * alpha % q * l1_z - alpha * idp) % q
+    zeta_n2 = pow(zeta, n + 2, q)
+
+    def scaled(coeffs, s):
+        return [c * s % q for c in coeffs]
+
+    lin = scaled(pk.trace_coeffs["ql"], l_z)
+    lin = _add_poly(lin, scaled(pk.trace_coeffs["qr"], r_z), q)
+    lin = _add_poly(lin, scaled(pk.trace_coeffs["qm"], rl), q)
+    lin = _add_poly(lin, scaled(pk.trace_coeffs["qo"], o_z), q)
+    lin = _add_poly(lin, pk.trace_coeffs["qk"], q)
     for i in range(len(commitment_info)):
-        polys[f"qcp{i}"] = pk.trace_coeffs[f"qcp{i}"]
-        polys[f"pi2_{i}"] = pi2_coeffs[i]
-    order = eval_order_for(len(commitment_info))
-    evals = {name: _eval_poly(polys[name], zeta, q) for name in order}
-    z_omega_eval = _eval_poly(z_coeffs, zeta * omega % q, q)
+        lin = _add_poly(lin, scaled(pi2_coeffs[i], qcp_z[i]), q)
+    lin = _add_poly(lin, scaled(pk.trace_coeffs["s3"], s1_coef), q)
+    lin = _add_poly(lin, scaled(z_coeffs, z_coef), q)
+    lin = _add_poly(lin, scaled(t1, (-zh_z) % q), q)
+    lin = _add_poly(lin, scaled(t2, (-zh_z) * zeta_n2 % q), q)
+    lin = _add_poly(lin, scaled(t3, (-zh_z) * zeta_n2 % q * zeta_n2 % q), q)
+    lin_com = kzg.commit(lin)
+    lin_z = _eval_poly(lin, zeta, q)
 
-    for name in order:
-        ts.absorb_fr(evals[name])
-    ts.absorb_fr(z_omega_eval)
-    v = ts.challenge(b"v")
+    polys = [lin, a_coeffs, b_coeffs, c_coeffs,
+             pk.trace_coeffs["s1"], pk.trace_coeffs["s2"]]
+    digests = [lin_com, a_com, b_com, c_com,
+               vk.commitments["s1"], vk.commitments["s2"]]
+    claimed = [lin_z, l_z, r_z, o_z, s1_z, s2_z]
+    for i in range(len(commitment_info)):
+        polys.append(pk.trace_coeffs[f"qcp{i}"])
+        digests.append(vk.commitments[f"qcp{i}"])
+        claimed.append(qcp_z[i])
 
-    # fold Σ vⁱ·P_i and open once at ζ
+    gamma_kzg = kzg_fold_challenge(fs_hash, curve, q, zeta, digests,
+                                   claimed, zu)
     folded = []
-    vi = 1
-    for name in order:
-        folded = _add_poly(folded, [c * vi % q for c in polys[name]], q)
-        vi = vi * v % q
-    _, batch_proof = kzg.open(folded, zeta)
-    _, z_omega_proof = kzg.open(z_coeffs, zeta * omega % q)
+    gi = 1
+    for p in polys:
+        folded = _add_poly(folded, scaled(p, gi), q)
+        gi = gi * gamma_kzg % q
+    _, batch_h = kzg.open(folded, zeta)
 
     return Proof(
-        a_com=a_com, b_com=b_com, c_com=c_com, z_com=z_com, t_coms=t_coms,
-        evals=evals, z_omega_eval=z_omega_eval,
-        batch_proof=batch_proof, z_omega_proof=z_omega_proof,
+        lro=(a_com, b_com, c_com), z_com=z_com, h_coms=h_coms,
+        batch_h=batch_h, batch_claimed=claimed,
+        z_shifted_h=z_shifted_h, z_shifted_claimed=zu,
         bsb22_commitments=bsb22_coms,
     )

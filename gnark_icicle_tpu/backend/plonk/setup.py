@@ -121,7 +121,7 @@ def setup(cs: SparseR1CS, curve, srs: SRS | None = None, rng=None,
         trace_coeffs=trace_coeffs, log_n=log_n, k1=k1, k2=k2, srs=srs,
         sigma=sigma,
     )
-    vk = VerifyingKey(
+    vk = VerifyingKey(  # noqa: the prover's transcript binds the vk (pk.vk)
         commitments=commitments, log_n=log_n, k1=k1, k2=k2,
         nb_public=cs.nb_public, g2_gen=srs.g2_gen, g2_tau=srs.g2_tau,
         omega=omega,
@@ -129,4 +129,5 @@ def setup(cs: SparseR1CS, curve, srs: SRS | None = None, rng=None,
             c.commitment_index for c in cs.commitments
         ],  # ≙ vk.CommitmentConstraintIndexes (setup.go:93)
     )
+    pk.vk = vk  # ≙ pk.Vk — prove's bindPublicData needs the commitments
     return pk, vk

@@ -1,18 +1,22 @@
-"""PLONK Verify: transcript replay + quotient identity at ζ + 2 KZG checks.
+"""PLONK Verify: transcript replay + linearization-constant check + folded
+KZG batch verification (gnark proof shape).
 
-Role parity: reference backend/plonk/bn254/verify.go:48. With the
-open-everything proof shape (keys.py) the verifier evaluates the quotient
-identity numerically from the opened values, then checks the folded batch
-opening at ζ and the Z opening at ωζ — four pairings total on the host
-oracle path.
+Role parity: reference backend/plonk/bn254/verify.go:48-314. Steps:
+subgroup-validate every proof point (:66-89), replay the Fiat-Shamir
+transcript (:93-126), compute PI(ζ) incl. the BSB22 hashed commitments
+(:141-196), check the claimed linearized-poly opening equals
+−[PI − α²L₁(ζ) + α(l+βs1+γ)(r+βs2+γ)(o+γ)Z(ωζ)] (:219-227), rebuild the
+linearized-polynomial digest from the vk/proof commitments (:229-283),
+fold the batch opening with the KZG γ challenge and check both openings
+(:285-313) — two pairing checks on the host oracle path.
 """
 
 from __future__ import annotations
 
 from ..kzg import KZG, SRS
-from ..transcript import make_transcript
+from ..transcript import make_transcript, kzg_fold_challenge
 from .keys import VerifyingKey, Proof
-from .prove import eval_order_for
+from .prove import CHALLENGES, bind_public_data
 
 
 class PlonkVerificationError(Exception):
@@ -26,35 +30,48 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
         raise PlonkVerificationError(
             f"expected {vk.nb_public} public inputs, got {len(public_values)}"
         )
-    n = 1 << vk.log_n
-    omega = vk.omega
-    k1, k2 = vk.k1, vk.k2
     nb_commitments = len(vk.commitment_constraint_indexes)
     if len(proof.bsb22_commitments) != nb_commitments:
         raise PlonkVerificationError("wrong number of BSB22 commitments")
-    order = eval_order_for(nb_commitments)
+    if len(proof.batch_claimed) != 6 + nb_commitments:
+        raise PlonkVerificationError("wrong number of claimed values")
 
-    # ---- replay the transcript --------------------------------------------
-    ts = make_transcript(q, fs_hash)
-    for v in public_values:
-        ts.absorb_fr(v)
-    for cm in (proof.a_com, proof.b_com, proof.c_com):
-        ts.absorb_point(curve, cm)
-    beta = ts.challenge(b"beta")
+    # on-curve + subgroup validation of every attacker-supplied point
+    # (≙ verify.go:66-89 IsInSubGroup over LRO/Z/H/Bsb22/opening proofs)
+    pts = [("a", proof.lro[0]), ("b", proof.lro[1]), ("c", proof.lro[2]),
+           ("z", proof.z_com)]
+    pts += [(f"h{i}", cm) for i, cm in enumerate(proof.h_coms)]
+    pts += [(f"bsb22_{i}", cm)
+            for i, cm in enumerate(proof.bsb22_commitments)]
+    pts += [("batch_h", proof.batch_h),
+            ("z_shifted_h", proof.z_shifted_h)]
+    g1 = curve.g1
+    for name, pt in pts:
+        if pt is None:
+            continue  # infinity is in the subgroup
+        if not g1.is_on_curve(pt) or not g1.in_subgroup(pt):
+            raise PlonkVerificationError(
+                f"proof point {name} not in G1 subgroup")
+
+    n = 1 << vk.log_n
+    omega = vk.omega
+    k1, k2 = vk.k1, vk.k2
+
+    # ---- replay the transcript (≙ verify.go:93-126) -----------------------
+    ts = make_transcript(q, list(CHALLENGES), fs_hash)
+    bind_public_data(ts, curve, vk, public_values)
+    for cm in proof.lro:
+        ts.bind_point(b"gamma", curve, cm)
     gamma = ts.challenge(b"gamma")
+    beta = ts.challenge(b"beta")
     for cm in proof.bsb22_commitments:
-        ts.absorb_point(curve, cm)
-    ts.absorb_point(curve, proof.z_com)
+        ts.bind_point(b"alpha", curve, cm)
+    ts.bind_point(b"alpha", curve, proof.z_com)
     alpha = ts.challenge(b"alpha")
-    for cm in proof.t_coms:
-        ts.absorb_point(curve, cm)
+    for cm in proof.h_coms:
+        ts.bind_point(b"zeta", curve, cm)
     zeta = ts.challenge(b"zeta")
-    for name in order:
-        ts.absorb_fr(proof.evals[name])
-    ts.absorb_fr(proof.z_omega_eval)
-    v_ch = ts.challenge(b"v")
 
-    e = proof.evals
     zh_zeta = (pow(zeta, n, q) - 1) % q
     if zh_zeta == 0:
         raise PlonkVerificationError("zeta landed in the domain")
@@ -68,8 +85,8 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
     for j, pv in enumerate(public_values):
         pi = (pi + pv * lagrange_at(j)) % q
     # BSB22: re-derive each commitment's Qk injection from its commitment
-    # point and add it like a public input (≙ verify.go's commitment wire
-    # solving with DST "BSB22-Plonk")
+    # point and add it like a public input (≙ verify.go:173-195 with DST
+    # "BSB22-Plonk"; our commitment indexes are absolute gate rows)
     if nb_commitments:
         from ..hash_to_field import hash_to_fr
         from ...io.serialize import g1_to_bytes
@@ -81,62 +98,75 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
                 b"BSB22-Plonk", q,
             )[0]
             pi = (pi + val * lagrange_at(ci)) % q
+
+    l_z = proof.batch_claimed[1]
+    r_z = proof.batch_claimed[2]
+    o_z = proof.batch_claimed[3]
+    s1_z = proof.batch_claimed[4]
+    s2_z = proof.batch_claimed[5]
+    qcp_z = proof.batch_claimed[6:]
+    zu = proof.z_shifted_claimed
+
     l1_zeta = zh_zeta * pow(n * (zeta - 1) % q, -1, q) % q
+    alpha2_l1 = alpha * alpha % q * l1_zeta % q
 
-    gate = (
-        e["ql"] * e["a"] + e["qr"] * e["b"] + e["qm"] * e["a"] * e["b"]
-        + e["qo"] * e["c"] + e["qk"] + pi
-    ) % q
-    for i in range(nb_commitments):  # Σ qcp_i(ζ)·PI2_i(ζ)
-        gate = (gate + e[f"qcp{i}"] * e[f"pi2_{i}"]) % q
-    lhs = (e["a"] + beta * zeta + gamma) % q
-    lhs = lhs * ((e["b"] + beta * k1 % q * zeta + gamma) % q) % q
-    lhs = lhs * ((e["c"] + beta * k2 % q * zeta + gamma) % q) % q
-    lhs = lhs * e["z"] % q
-    rhs = (e["a"] + beta * e["s1"] + gamma) % q
-    rhs = rhs * ((e["b"] + beta * e["s2"] + gamma) % q) % q
-    rhs = rhs * ((e["c"] + beta * e["s3"] + gamma) % q) % q
-    rhs = rhs * proof.z_omega_eval % q
-    perm = (lhs - rhs) % q
-    start = l1_zeta * (e["z"] - 1) % q
+    # constLin = −[PI − α²L₁(ζ) + α(l+βs1+γ)(r+βs2+γ)(o+γ)·Z(ωζ)]
+    # (≙ verify.go:219-227)
+    cprod = (l_z + beta * s1_z + gamma) % q * (
+        (r_z + beta * s2_z + gamma) % q) % q
+    const_lin = cprod * ((o_z + gamma) % q) % q * alpha % q * zu % q
+    const_lin = (const_lin - alpha2_l1 + pi) % q
+    const_lin = (-const_lin) % q
+    if proof.batch_claimed[0] != const_lin:
+        raise PlonkVerificationError("algebraic relation does not hold")
 
-    shard_pow = pow(zeta, n + 2, q)
-    t_zeta = (
-        e["t1"] + shard_pow * e["t2"] + shard_pow * shard_pow % q * e["t3"]
-    ) % q
-    identity_lhs = (gate + alpha * perm + alpha * alpha % q * start) % q
-    if identity_lhs != t_zeta * zh_zeta % q:
-        raise PlonkVerificationError("quotient identity fails at zeta")
+    # ---- linearized polynomial digest (≙ verify.go:229-283) ---------------
+    s1_coef = cprod * beta % q * zu % q * alpha % q
+    idp = (l_z + beta * zeta + gamma) % q
+    idp = idp * ((r_z + beta * k1 % q * zeta + gamma) % q) % q
+    idp = idp * ((o_z + beta * k2 % q * zeta + gamma) % q) % q
+    z_coef = (alpha2_l1 - alpha * idp) % q
+    rl = l_z * r_z % q
+    zeta_n2 = pow(zeta, n + 2, q)
+    neg_zh = (-zh_zeta) % q
 
-    # ---- KZG checks -----------------------------------------------------------
+    points = list(proof.bsb22_commitments) + [
+        vk.commitments["ql"], vk.commitments["qr"], vk.commitments["qm"],
+        vk.commitments["qo"], vk.commitments["qk"],
+        vk.commitments["s3"], proof.z_com,
+        proof.h_coms[0], proof.h_coms[1], proof.h_coms[2],
+    ]
+    scalars = list(qcp_z) + [
+        l_z, r_z, rl, o_z, 1,
+        s1_coef, z_coef,
+        neg_zh, neg_zh * zeta_n2 % q, neg_zh * zeta_n2 % q * zeta_n2 % q,
+    ]
+    lin_digest = None
+    for pt, s in zip(points, scalars):
+        lin_digest = g1.add(lin_digest, g1.scalar_mul(pt, s))
+
+    # ---- fold + batch verify (≙ verify.go:285-313) ------------------------
+    digests = [lin_digest, proof.lro[0], proof.lro[1], proof.lro[2],
+               vk.commitments["s1"], vk.commitments["s2"]]
+    for i in range(nb_commitments):
+        digests.append(vk.commitments[f"qcp{i}"])
+    gamma_kzg = kzg_fold_challenge(fs_hash, curve, q, zeta, digests,
+                                   proof.batch_claimed, zu)
+    folded_digest = None
+    folded_value = 0
+    gi = 1
+    for d, v in zip(digests, proof.batch_claimed):
+        folded_digest = g1.add(folded_digest, g1.scalar_mul(d, gi))
+        folded_value = (folded_value + gi * v) % q
+        gi = gi * gamma_kzg % q
+
     srs = SRS(g1_powers=[curve.g1.generator], g2_gen=vk.g2_gen,
               g2_tau=vk.g2_tau)
     kzg = KZG(curve, srs)
-    commitments = {
-        "a": proof.a_com, "b": proof.b_com, "c": proof.c_com,
-        "z": proof.z_com,
-        "s1": vk.commitments["s1"], "s2": vk.commitments["s2"],
-        "s3": vk.commitments["s3"],
-        "ql": vk.commitments["ql"], "qr": vk.commitments["qr"],
-        "qm": vk.commitments["qm"], "qo": vk.commitments["qo"],
-        "qk": vk.commitments["qk"],
-        "t1": proof.t_coms[0], "t2": proof.t_coms[1], "t3": proof.t_coms[2],
-    }
-    for i in range(nb_commitments):
-        commitments[f"qcp{i}"] = vk.commitments[f"qcp{i}"]
-        commitments[f"pi2_{i}"] = proof.bsb22_commitments[i]
-    g1 = curve.g1
-    fold_c = None
-    fold_v = 0
-    vi = 1
-    for name in order:
-        fold_c = g1.add(fold_c, g1.scalar_mul(commitments[name], vi))
-        fold_v = (fold_v + vi * e[name]) % q
-        vi = vi * v_ch % q
-    if not kzg.verify(fold_c, zeta, fold_v, proof.batch_proof):
+    if not kzg.verify(folded_digest, zeta, folded_value, proof.batch_h):
         raise PlonkVerificationError("batched KZG opening at zeta fails")
-    if not kzg.verify(proof.z_com, zeta * omega % q, proof.z_omega_eval,
-                      proof.z_omega_proof):
+    if not kzg.verify(proof.z_com, zeta * omega % q, zu,
+                      proof.z_shifted_h):
         raise PlonkVerificationError("KZG opening of Z at omega*zeta fails")
 
 

@@ -1,11 +1,27 @@
-"""Fiat-Shamir transcript (SHA-256 based).
+"""Fiat-Shamir transcripts.
 
-Role parity: gnark-crypto's fiat-shamir transcript as driven by the PLONK
-prover (reference: backend/plonk/bn254/prove.go:229 deriveRandomness with
-named challenges gamma/beta/alpha/zeta). Same structure — named challenges,
-each binding all prior absorptions and the previous challenge; byte-format
-compatibility with gnark transcripts is a later milestone (this transcript is
-self-consistent between our prover and verifier).
+Two flavors, one API (bind_point / bind_fr / challenge):
+
+* ``GnarkTranscript`` — byte-exact reimplementation of gnark-crypto's
+  ``fiat-shamir.Transcript`` as driven by gnark's PLONK prover/verifier
+  (reference: backend/plonk/bn254/prove.go:426-481 deriveRandomness +
+  bindPublicData, verify.go:93-126; the in-circuit mirror of the same
+  semantics is std/fiat-shamir/transcript.go:106-160). Challenges are
+  named and ordered; challenge_i's digest is
+      H(name_i ∥ digest_{i-1 if i>0} ∥ bindings_i)
+  and its field value is SetBytes(digest) = int(digest) mod q. Points are
+  bound as gnark-crypto uncompressed RawBytes (64 B for bn254 G1), field
+  elements as 32-byte big-endian — so the bytes fed to SHA-256 match
+  gnark's byte-for-byte.
+
+* ``MiMCTranscript`` — same challenge schedule over an Fr-friendly MiMC
+  hash (≙ the reference's recursion.NewShort hash swap,
+  std/recursion/wrapped_hash.go: the inner prover re-instantiated with a
+  hash the outer circuit can afford). challenge_i =
+  MiMC(tag(name_i), digest_{i-1}?, bindings_i...) with points bound as
+  canonical-coordinate 64-bit limbs (how the recursion verifier sees its
+  emulated point witnesses). Mirrored bit-for-bit by
+  std/fiat_shamir.CircuitTranscript.
 """
 
 from __future__ import annotations
@@ -13,38 +29,46 @@ from __future__ import annotations
 import hashlib
 
 
-class Transcript:
-    def __init__(self, modulus: int, label: bytes = b"plonk"):
+class GnarkTranscript:
+    """gnark-crypto fiat-shamir transcript (SHA-256), byte-exact."""
+
+    def __init__(self, modulus: int, names: list):
         self.q = modulus
-        self._state = hashlib.sha256(label).digest()
+        self.names = [n if isinstance(n, bytes) else n.encode() for n in names]
+        self._bindings = {n: bytearray() for n in self.names}
+        self._digests: dict = {}
+        self._next_pos = 0
 
-    def absorb(self, data: bytes):
-        self._state = hashlib.sha256(self._state + data).digest()
+    def bind(self, name, data: bytes):
+        name = name if isinstance(name, bytes) else name.encode()
+        if name in self._digests:
+            raise ValueError(f"challenge {name!r} already computed")
+        self._bindings[name].extend(data)
 
-    def absorb_point(self, curve, pt):
+    def bind_point(self, name, curve, pt):
         from ..io.serialize import g1_to_bytes
 
-        self.absorb(g1_to_bytes(curve, pt, compressed=True))
+        self.bind(name, g1_to_bytes(curve, pt, compressed=False))
 
-    def absorb_fr(self, v: int):
-        self.absorb(int(v % self.q).to_bytes(32, "big"))
+    def bind_fr(self, name, v: int):
+        self.bind(name, int(v % self.q).to_bytes(32, "big"))
 
-    def challenge(self, name: bytes) -> int:
-        self._state = hashlib.sha256(self._state + name).digest()
-        # two squeezes for negligible mod-bias
-        wide = self._state + hashlib.sha256(self._state + b"+").digest()
-        return int.from_bytes(wide, "big") % self.q
-
-
-def make_transcript(modulus: int, fs_hash: str = "sha256"):
-    """Transcript factory: "sha256" (default, host-cheap) or "mimc"
-    (Fr-friendly — what recursion provers use so the outer circuit can
-    replay the challenges natively)."""
-    if fs_hash == "sha256":
-        return Transcript(modulus)
-    if fs_hash == "mimc":
-        return MiMCTranscript(modulus)
-    raise ValueError(f"unknown fs_hash {fs_hash!r}")
+    def challenge(self, name) -> int:
+        name = name if isinstance(name, bytes) else name.encode()
+        if name in self._digests:
+            return int.from_bytes(self._digests[name], "big") % self.q
+        pos = self.names.index(name)
+        if pos != self._next_pos:
+            raise ValueError(f"challenge {name!r} out of order")
+        h = hashlib.sha256()
+        h.update(name)
+        if pos > 0:
+            h.update(self._digests[self.names[pos - 1]])
+        h.update(bytes(self._bindings[name]))
+        d = h.digest()
+        self._digests[name] = d
+        self._next_pos = pos + 1
+        return int.from_bytes(d, "big") % self.q
 
 
 FS_LIMB_BITS = 64  # must match std/emulated BN254_FP (w=64, k=4)
@@ -65,36 +89,79 @@ def point_limbs(curve, pt) -> list:
     return out
 
 
+def name_tag(name, q: int) -> int:
+    name = name if isinstance(name, bytes) else name.encode()
+    return int.from_bytes(name, "big") % q
+
+
 class MiMCTranscript:
-    """Fr-friendly Fiat-Shamir transcript (≙ the reference's
-    recursion.NewShort(...) hash swap — std/recursion/wrapped_hash.go: the
-    inner prover is re-instantiated with a hash the OUTER circuit can
-    afford, so the recursion verifier replays challenges natively).
+    """Fr-friendly transcript with the SAME named-challenge schedule as
+    GnarkTranscript (challenge = MiMC(tag, prev?, bindings...)); used by
+    recursion-friendly proofs so the outer circuit replays challenges
+    natively (≙ recursion.NewShort hash swap)."""
 
-    Semantics mirror std/fiat_shamir.CircuitTranscript exactly: each named
-    challenge is MiMC(name-tag, everything absorbed so far), and becomes
-    part of the absorptions for later challenges. Points are absorbed as
-    their canonical coordinate limbs (point_limbs)."""
-
-    def __init__(self, modulus: int, label: bytes = b"plonk"):
+    def __init__(self, modulus: int, names: list):
         self.q = modulus
-        self._absorbed: list = []
+        self.names = [n if isinstance(n, bytes) else n.encode() for n in names]
+        self._bindings = {n: [] for n in self.names}
+        self._values: dict = {}
+        self._next_pos = 0
 
-    def absorb(self, data: bytes):
-        raise NotImplementedError("MiMC transcript absorbs field elements")
+    def bind_fr(self, name, v: int):
+        name = name if isinstance(name, bytes) else name.encode()
+        if name in self._values:
+            raise ValueError(f"challenge {name!r} already computed")
+        self._bindings[name].append(int(v) % self.q)
 
-    def absorb_fr(self, v: int):
-        self._absorbed.append(int(v) % self.q)
+    def bind_point(self, name, curve, pt):
+        for limb in point_limbs(curve, pt):
+            self.bind_fr(name, limb)
 
-    def absorb_point(self, curve, pt):
-        self._absorbed.extend(point_limbs(curve, pt))
-
-    def challenge(self, name: bytes) -> int:
+    def challenge(self, name) -> int:
         from ..std.hash.mimc import MiMCHost
 
-        tag = int.from_bytes(name, "big") % self.q
+        name = name if isinstance(name, bytes) else name.encode()
+        if name in self._values:
+            return self._values[name]
+        pos = self.names.index(name)
+        if pos != self._next_pos:
+            raise ValueError(f"challenge {name!r} out of order")
         h = MiMCHost(self.q)
-        h.write(tag, *self._absorbed)
+        h.write(name_tag(name, self.q))
+        if pos > 0:
+            h.write(self._values[self.names[pos - 1]])
+        for v in self._bindings[name]:
+            h.write(v)
         c = h.h
-        self._absorbed.append(c)
+        self._values[name] = c
+        self._next_pos = pos + 1
         return c
+
+
+def make_transcript(modulus: int, names: list, fs_hash: str = "sha256"):
+    """Transcript factory: "sha256" (gnark-byte-exact, default) or "mimc"
+    (Fr-friendly — what recursion provers use so the outer circuit can
+    replay the challenges natively)."""
+    if fs_hash == "sha256":
+        return GnarkTranscript(modulus, names)
+    if fs_hash == "mimc":
+        return MiMCTranscript(modulus, names)
+    raise ValueError(f"unknown fs_hash {fs_hash!r}")
+
+
+def kzg_fold_challenge(fs_hash: str, curve, q: int, point: int, digests,
+                       claimed_values, data_tail: int | None = None) -> int:
+    """The batched-KZG fold challenge γ (≙ gnark-crypto kzg.deriveGamma,
+    called from BatchOpenSinglePoint / FoldProof with the shifted opening's
+    claimed value as extra transcript data, prove.go:757-764): a fresh
+    one-challenge transcript binding the evaluation point, every digest,
+    every claimed value, then the extra data."""
+    ts = make_transcript(q, [b"gamma"], fs_hash)
+    ts.bind_fr(b"gamma", point)
+    for d in digests:
+        ts.bind_point(b"gamma", curve, d)
+    for v in claimed_values:
+        ts.bind_fr(b"gamma", v)
+    if data_tail is not None:
+        ts.bind_fr(b"gamma", data_tail)
+    return ts.challenge(b"gamma")

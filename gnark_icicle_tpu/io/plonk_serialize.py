@@ -1,9 +1,11 @@
 """PLONK proof / verifying-key serialization.
 
-Role parity: reference backend/plonk/bn254/marshal.go. Our proof shape
-differs from gnark's linearization-trick proof (see backend/plonk/keys.py),
-so this is the framework's own deterministic format: points in gnark-crypto
-encoding, field elements 32-byte big-endian, fixed field order.
+Role parity: reference backend/plonk/bn254/marshal.go. The proof follows
+gnark's WriteTo field order exactly (marshal.go:36-61): LRO[0..2], Z,
+H[0..2], BatchedProof.H, ClaimedValues (uint32 length + fr vector),
+ZShiftedOpening.H, ClaimedValue, Bsb22Commitments (uint32 length +
+points) — points in gnark-crypto encoding, field elements 32-byte
+big-endian. The vk keeps the framework's own deterministic layout.
 """
 
 from __future__ import annotations
@@ -12,7 +14,6 @@ import struct
 
 from .serialize import g1_to_bytes, g1_from_bytes, g2_to_bytes, g2_from_bytes
 from ..backend.plonk.keys import Proof, VerifyingKey
-from ..backend.plonk.prove import eval_order_for
 
 _VK_NAMES = ("ql", "qr", "qm", "qo", "qk", "s1", "s2", "s3")
 
@@ -20,16 +21,16 @@ _VK_NAMES = ("ql", "qr", "qm", "qo", "qk", "s1", "s2", "s3")
 def plonk_proof_to_bytes(curve, proof: Proof, compressed: bool = True) -> bytes:
     fr = curve.fr
     out = bytearray()
-    for pt in (proof.a_com, proof.b_com, proof.c_com, proof.z_com,
-               *proof.t_coms, proof.batch_proof, proof.z_omega_proof):
+    for pt in (*proof.lro, proof.z_com, *proof.h_coms, proof.batch_h):
         out += g1_to_bytes(curve, pt, compressed)
-    nb_c = len(proof.bsb22_commitments)
-    out += struct.pack(">I", nb_c)
+    out += struct.pack(">I", len(proof.batch_claimed))
+    for v in proof.batch_claimed:
+        out += fr.to_bytes(v)
+    out += g1_to_bytes(curve, proof.z_shifted_h, compressed)
+    out += fr.to_bytes(proof.z_shifted_claimed)
+    out += struct.pack(">I", len(proof.bsb22_commitments))
     for pt in proof.bsb22_commitments:
         out += g1_to_bytes(curve, pt, compressed)
-    for name in eval_order_for(nb_c):
-        out += fr.to_bytes(proof.evals[name])
-    out += fr.to_bytes(proof.z_omega_eval)
     return bytes(out)
 
 
@@ -37,10 +38,20 @@ def plonk_proof_from_bytes(curve, data: bytes):
     fr = curve.fr
     off = 0
     pts = []
-    for _ in range(9):
+    for _ in range(8):  # LRO, Z, H x3, BatchedProof.H
         pt, n = g1_from_bytes(curve, data, off)
         pts.append(pt)
         off += n
+    (nb_cv,) = struct.unpack_from(">I", data, off)
+    off += 4
+    claimed = []
+    for _ in range(nb_cv):
+        claimed.append(fr.from_bytes(data[off : off + fr.nb_bytes]))
+        off += fr.nb_bytes
+    z_shifted_h, n = g1_from_bytes(curve, data, off)
+    off += n
+    zu = fr.from_bytes(data[off : off + fr.nb_bytes])
+    off += fr.nb_bytes
     (nb_c,) = struct.unpack_from(">I", data, off)
     off += 4
     bsb22 = []
@@ -48,17 +59,11 @@ def plonk_proof_from_bytes(curve, data: bytes):
         pt, n = g1_from_bytes(curve, data, off)
         bsb22.append(pt)
         off += n
-    evals = {}
-    for name in eval_order_for(nb_c):
-        evals[name] = fr.from_bytes(data[off : off + fr.nb_bytes])
-        off += fr.nb_bytes
-    z_omega_eval = fr.from_bytes(data[off : off + fr.nb_bytes])
-    off += fr.nb_bytes
     proof = Proof(
-        a_com=pts[0], b_com=pts[1], c_com=pts[2], z_com=pts[3],
-        t_coms=(pts[4], pts[5], pts[6]),
-        evals=evals, z_omega_eval=z_omega_eval,
-        batch_proof=pts[7], z_omega_proof=pts[8],
+        lro=(pts[0], pts[1], pts[2]), z_com=pts[3],
+        h_coms=(pts[4], pts[5], pts[6]),
+        batch_h=pts[7], batch_claimed=claimed,
+        z_shifted_h=z_shifted_h, z_shifted_claimed=zu,
         bsb22_commitments=bsb22,
     )
     return proof, off

@@ -7,6 +7,49 @@ from __future__ import annotations
 from .hash.mimc import MiMC
 
 
+class NamedTranscript:
+    """In-circuit mirror of backend.transcript.MiMCTranscript — gnark's
+    fiat-shamir schedule (≙ std/fiat-shamir/transcript.go:106-160): each
+    challenge hashes its OWN bindings plus the previous challenge,
+    challenge_i = MiMC(tag_i, value_{i-1}?, bindings_i...). Bit-identical
+    to the host transcript, so recursion verifiers replay the inner
+    prover's challenges natively."""
+
+    def __init__(self, api, modulus: int, challenge_names: list):
+        self.api = api
+        self.q = modulus
+        self._names = [n if isinstance(n, str) else n.decode()
+                       for n in challenge_names]
+        self._bindings = {n: [] for n in self._names}
+        self._values: dict = {}
+        self._next = 0
+
+    def bind(self, name: str, values):
+        if name not in self._names:
+            raise ValueError(f"unknown challenge {name!r}")
+        if name in self._values:
+            raise ValueError(f"challenge {name!r} already computed")
+        self._bindings[name].extend(values)
+
+    def compute_challenge(self, name: str):
+        if name in self._values:
+            return self._values[name]
+        pos = self._names.index(name)
+        if pos != self._next:
+            raise ValueError(f"challenge order violated at {name!r}")
+        h = MiMC(self.api, self.q)
+        tag = int.from_bytes(name.encode(), "big") % self.q
+        h.write(tag)
+        if pos > 0:
+            h.write(self._values[self._names[pos - 1]])
+        if self._bindings[name]:
+            h.write(*self._bindings[name])
+        c = h.sum()
+        self._values[name] = c
+        self._next = pos + 1
+        return c
+
+
 class CircuitTranscript:
     def __init__(self, api, modulus: int, challenge_names: list):
         self.api = api

@@ -45,12 +45,13 @@ def test_plonk_tampered_proof_rejected(cubic_setup):
     proof = plonk.prove(cs, pk, pub, sec, CURVE, rng=random.Random(34))
     import dataclasses
 
-    bad = dataclasses.replace(
-        proof, evals=dict(proof.evals, a=(proof.evals["a"] + 1) % Q)
-    )
+    claimed = list(proof.batch_claimed)
+    claimed[1] = (claimed[1] + 1) % Q  # l(zeta)
+    bad = dataclasses.replace(proof, batch_claimed=claimed)
     assert not plonk.is_valid(bad, vk, pub, CURVE)
     bad2 = dataclasses.replace(
-        proof, a_com=CURVE.g1.add(proof.a_com, CURVE.g1.generator)
+        proof, lro=(CURVE.g1.add(proof.lro[0], CURVE.g1.generator),
+                    proof.lro[1], proof.lro[2])
     )
     assert not plonk.is_valid(bad2, vk, pub, CURVE)
 
@@ -60,7 +61,7 @@ def test_plonk_blinding_randomizes(cubic_setup):
     pub, sec = Cubic(x=3, y=35).witness_values(Q)
     p1 = plonk.prove(cs, pk, pub, sec, CURVE, rng=random.Random(35))
     p2 = plonk.prove(cs, pk, pub, sec, CURVE, rng=random.Random(36))
-    assert p1.a_com != p2.a_com  # blinding
+    assert p1.lro[0] != p2.lro[0]  # blinding
     plonk.verify(p1, vk, pub, CURVE)
     plonk.verify(p2, vk, pub, CURVE)
 

@@ -31,8 +31,8 @@ def test_plonk_proof_vk_roundtrip():
         pdata = plonk_proof_to_bytes(CURVE, proof, compressed)
         p2, n = plonk_proof_from_bytes(CURVE, pdata)
         assert n == len(pdata)
-        assert p2.evals == proof.evals
-        assert p2.t_coms == proof.t_coms
+        assert p2.batch_claimed == proof.batch_claimed
+        assert p2.h_coms == proof.h_coms
 
         vdata = plonk_vk_to_bytes(CURVE, vk, compressed)
         vk2, n = plonk_vk_from_bytes(CURVE, vdata)

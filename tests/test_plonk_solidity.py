@@ -17,7 +17,6 @@ import pytest
 from gnark_icicle_tpu.curves import bn254
 from gnark_icicle_tpu.frontend import Circuit, Public, Secret, compile_circuit
 from gnark_icicle_tpu.backend import plonk
-from gnark_icicle_tpu.backend.plonk.prove import EVAL_ORDER
 from gnark_icicle_tpu.backend.plonk_solidity import export_plonk_solidity
 
 CURVE = bn254.BN254
@@ -44,18 +43,25 @@ def plonk_artifacts():
 
 
 def _proof_words(proof):
-    """The contract's calldata layout."""
+    """The contract's calldata layout (25 words)."""
     def xy(pt):
         return [0, 0] if pt is None else [pt[0], pt[1]]
 
     words = []
-    for pt in (proof.a_com, proof.b_com, proof.c_com, proof.z_com,
-               *proof.t_coms, proof.batch_proof, proof.z_omega_proof):
+    for pt in (*proof.lro, proof.z_com, *proof.h_coms, proof.batch_h,
+               proof.z_shifted_h):
         words += xy(pt)
-    for name in EVAL_ORDER:
-        words.append(proof.evals[name])
-    words.append(proof.z_omega_eval)
+    words += list(proof.batch_claimed)
+    words.append(proof.z_shifted_claimed)
+    assert len(words) == 25
     return words
+
+
+def _marshal(x, y):
+    """gnark-crypto uncompressed marshal (what the contract absorbs)."""
+    if x == 0 and y == 0:
+        return (0x40 << 248).to_bytes(32, "big") + bytes(32)
+    return x.to_bytes(32, "big") + y.to_bytes(32, "big")
 
 
 def _simulate(src: str, vk, proof, public_inputs):
@@ -65,96 +71,104 @@ def _simulate(src: str, vk, proof, public_inputs):
     g1 = CURVE.g1
     consts = {
         m.group(1): int(m.group(2))
-        for m in re.finditer(
-            r"constant (\w+) = (\d+);", src
-        )
+        for m in re.finditer(r"constant (\w+) = (\d+);", src)
     }
     n = consts["N"]
     omega = consts["OMEGA"]
     k1, k2 = consts["K1"], consts["K2"]
-    p_half = consts["P_HALF"]
     words = _proof_words(proof)
 
     def pt(i):
         w = (words[i], words[i + 1])
         return None if w == (0, 0) else w
 
-    def sha(b):
-        return hashlib.sha256(b).digest()
+    def mpt(i):
+        return _marshal(words[i], words[i + 1])
 
-    st = sha(b"plonk")
+    def vk_xy(name):
+        p = vk.commitments[name]
+        return (0, 0) if p is None else p
+
+    sha = lambda b: hashlib.sha256(b).digest()
+
+    # ---- transcript (gnark fiat-shamir bytes) ----------------------------
+    vk_blob = b"".join(_marshal(*vk_xy(k))
+                       for k in ("s1", "s2", "s3", "ql", "qr", "qm",
+                                 "qo", "qk"))
+    buf = b"gamma" + vk_blob
     for v in public_inputs:
         assert v < Q
-        st = sha(st + v.to_bytes(32, "big"))
+        buf += v.to_bytes(32, "big")
+    buf += mpt(0) + mpt(2) + mpt(4)
+    d = sha(buf)
+    gamma = int.from_bytes(d, "big") % Q
+    d = sha(b"beta" + d)
+    beta = int.from_bytes(d, "big") % Q
+    d = sha(b"alpha" + d + mpt(6))
+    alpha = int.from_bytes(d, "big") % Q
+    d = sha(b"zeta" + d + mpt(8) + mpt(10) + mpt(12))
+    zeta = int.from_bytes(d, "big") % Q
 
-    def absorb_point(st, i):
-        x, y = words[i], words[i + 1]
-        if x == 0 and y == 0:
-            enc = 0x40 << 248
-        else:
-            enc = x | ((0xC0 if y > p_half else 0x80) << 248)
-        return sha(st + enc.to_bytes(32, "big"))
-
-    def chal(st, name):
-        s1 = sha(st + name)
-        s2 = sha(s1 + b"+")
-        return (int.from_bytes(s1, "big") * ((1 << 256) % Q)
-                + int.from_bytes(s2, "big")) % Q, s1
-
-    st = absorb_point(st, 0)
-    st = absorb_point(st, 2)
-    st = absorb_point(st, 4)
-    beta, st = chal(st, b"beta")
-    gamma, st = chal(st, b"gamma")
-    st = absorb_point(st, 6)
-    alpha, st = chal(st, b"alpha")
-    st = absorb_point(st, 8)
-    st = absorb_point(st, 10)
-    st = absorb_point(st, 12)
-    zeta, st = chal(st, b"zeta")
-    zw_idx = 18 + len(EVAL_ORDER)
-    for i in range(18, zw_idx + 1):
-        st = sha(st + (words[i] % Q).to_bytes(32, "big"))
-    vch, st = chal(st, b"v")
-
-    e = {name: words[18 + i] for i, name in enumerate(EVAL_ORDER)}
-    zw = words[zw_idx]
     zh = (pow(zeta, n, Q) - 1) % Q
     assert zh != 0
+
+    lin_z, l_z, r_z, o_z, s1_z, s2_z = words[18:24]
+    zu = words[24]
+
     pi = 0
     wj = 1
     for pv in public_inputs:
         lj = wj * zh % Q * pow(n * (zeta - wj) % Q, -1, Q) % Q
         pi = (pi + pv * lj) % Q
         wj = wj * omega % Q
-    gate = (e["ql"] * e["a"] + e["qr"] * e["b"] + e["qm"] * e["a"] * e["b"]
-            + e["qo"] * e["c"] + e["qk"] + pi) % Q
-    lhs = (e["a"] + beta * zeta + gamma) % Q
-    lhs = lhs * ((e["b"] + beta * k1 % Q * zeta + gamma) % Q) % Q
-    lhs = lhs * ((e["c"] + beta * k2 % Q * zeta + gamma) % Q) % Q * e["z"] % Q
-    rhs = (e["a"] + beta * e["s1"] + gamma) % Q
-    rhs = rhs * ((e["b"] + beta * e["s2"] + gamma) % Q) % Q
-    rhs = rhs * ((e["c"] + beta * e["s3"] + gamma) % Q) % Q * zw % Q
-    perm = (lhs - rhs) % Q
     l1z = zh * pow(n * (zeta - 1) % Q, -1, Q) % Q
-    start = l1z * (e["z"] - 1) % Q
-    identity = (gate + alpha * perm + alpha * alpha % Q * start) % Q
-    sp = pow(zeta, n + 2, Q)
-    tz = (e["t1"] + sp * e["t2"] + sp * sp % Q * e["t3"]) % Q
-    assert identity == tz * zh % Q, "quotient identity fails"
+    a2l1 = alpha * alpha % Q * l1z % Q
+    cprod = (l_z + beta * s1_z + gamma) % Q * (
+        (r_z + beta * s2_z + gamma) % Q) % Q
+    cl = cprod * ((o_z + gamma) % Q) % Q * alpha % Q * zu % Q
+    cl = (cl - a2l1 + pi) % Q
+    assert (lin_z + cl) % Q == 0, "linearization constant fails"
 
-    # fold and pair
-    proof_pt = {"a": 0, "b": 2, "c": 4, "z": 6, "t1": 8, "t2": 10, "t3": 12}
-    vk_pts = {k: vk.commitments[k]
-              for k in ("ql", "qr", "qm", "qo", "qk", "s1", "s2", "s3")}
+    # ---- linearized digest ----------------------------------------------
+    s1c = cprod * beta % Q * alpha % Q * zu % Q
+    bz = beta * zeta % Q
+    idp = (l_z + bz + gamma) % Q
+    idp = idp * ((r_z + bz * k1 + gamma) % Q) % Q
+    idp = idp * ((o_z + bz * k2 + gamma) % Q) % Q
+    zc = (a2l1 - alpha * idp) % Q
+    zn2 = pow(zeta, n + 2, Q)
+    nzh = (-zh) % Q
+
+    def smul(p, s):
+        return None if p is None else g1.scalar_mul(p, s % Q)
+
+    lin_d = vk.commitments["qk"]
+    for name, s in (("ql", l_z), ("qr", r_z), ("qm", l_z * r_z),
+                    ("qo", o_z), ("s3", s1c)):
+        lin_d = g1.add(lin_d, smul(vk.commitments[name], s))
+    lin_d = g1.add(lin_d, smul(pt(6), zc))
+    lin_d = g1.add(lin_d, smul(pt(8), nzh))
+    lin_d = g1.add(lin_d, smul(pt(10), nzh * zn2))
+    lin_d = g1.add(lin_d, smul(pt(12), nzh * zn2 % Q * zn2))
+
+    # ---- KZG fold challenge + fold --------------------------------------
+    lx, ly = (0, 0) if lin_d is None else lin_d
+    fb = (b"gamma" + zeta.to_bytes(32, "big") + _marshal(lx, ly)
+          + mpt(0) + mpt(2) + mpt(4)
+          + _marshal(*vk_xy("s1")) + _marshal(*vk_xy("s2")))
+    for v in words[18:25]:
+        fb += v.to_bytes(32, "big")
+    gkzg = int.from_bytes(sha(fb), "big") % Q
+
+    digests = [lin_d, pt(0), pt(2), pt(4),
+               vk.commitments["s1"], vk.commitments["s2"]]
     fold_c = None
     fold_v = 0
-    vi = 1
-    for name in EVAL_ORDER:
-        cpt = pt(proof_pt[name]) if name in proof_pt else vk_pts[name]
-        fold_c = g1.add(fold_c, g1.scalar_mul(cpt, vi))
-        fold_v = (fold_v + vi * e[name]) % Q
-        vi = vi * vch % Q
+    gi = 1
+    for dpt, v in zip(digests, words[18:24]):
+        fold_c = g1.add(fold_c, smul(dpt, gi))
+        fold_v = (fold_v + gi * v) % Q
+        gi = gi * gkzg % Q
 
     G = g1.generator
 
@@ -166,7 +180,7 @@ def _simulate(src: str, vk, proof, public_inputs):
     w2 = pt(16)
     pairs_p = [
         kzg_left(fold_c, fold_v, zeta, w1), g1.neg(w1),
-        kzg_left(pt(6), zw, zeta * omega % Q, w2), g1.neg(w2),
+        kzg_left(pt(6), zu, zeta * omega % Q, w2), g1.neg(w2),
     ]
     pairs_q = [vk.g2_gen, vk.g2_tau, vk.g2_gen, vk.g2_tau]
     assert CURVE.pairing(list(zip(pairs_p, pairs_q))), "pairing check fails"
@@ -176,15 +190,24 @@ def test_export_structure(plonk_artifacts):
     vk, _ = plonk_artifacts
     src = export_plonk_solidity(vk, CURVE)
     assert "pragma solidity" in src
-    assert src.count("constant") >= 30
-    assert f"uint256[{18 + len(EVAL_ORDER) + 1}] calldata proof" in src
+    assert src.count("constant") >= 25
+    assert "uint256[25] calldata proof" in src
     assert "staticcall(gas(), 8" in src  # pairing precompile
+    assert "vkBlob" in src  # transcript binds the vk
 
 
 def test_contract_algorithm_accepts_valid_proof(plonk_artifacts):
     vk, proof = plonk_artifacts
     src = export_plonk_solidity(vk, CURVE)
     _simulate(src, vk, proof, [35])
+
+
+def test_contract_transcript_matches_host_verifier(plonk_artifacts):
+    """The contract's sha256 bytes are the SAME gnark transcript the host
+    verifier replays — a proof accepted by one is accepted by the other."""
+    vk, proof = plonk_artifacts
+    plonk.verify(proof, vk, [35], CURVE)
+    _simulate(export_plonk_solidity(vk, CURVE), vk, proof, [35])
 
 
 def test_contract_algorithm_rejects_tampered(plonk_artifacts):
@@ -194,6 +217,7 @@ def test_contract_algorithm_rejects_tampered(plonk_artifacts):
         _simulate(src, vk, proof, [36])  # wrong public input
     from dataclasses import replace
 
-    bad = replace(proof, z_omega_eval=(proof.z_omega_eval + 1) % Q)
+    bad = replace(proof,
+                  z_shifted_claimed=(proof.z_shifted_claimed + 1) % Q)
     with pytest.raises(AssertionError):
         _simulate(src, vk, bad, [35])

@@ -54,7 +54,7 @@ def test_plonk_recursion_rejects_tampered_eval(inner_proof):
     vk, proof, pub = inner_proof
     pv = PlonkVerifier(Engine(Q), Q, vk)
     bad = pv.proof_witness(proof)
-    bad.evals = dict(bad.evals)
-    bad.evals["a"] = (bad.evals["a"] + 1) % Q
+    bad.batch_claimed = list(bad.batch_claimed)
+    bad.batch_claimed[1] = (bad.batch_claimed[1] + 1) % Q
     with pytest.raises(EngineUnsatisfiedError):
         pv.assert_proof(bad, pub)

@@ -188,20 +188,23 @@ class BNPairing:
 
 
 class BLSPairing(BNPairing):
-    """Optimal ate pairing for a BLS12 curve (M-twist, loop count |x|,
-    conjugation for the negative seed; no BN Frobenius end steps)."""
+    """Optimal ate pairing for a BLS12 curve (loop count |x|, conjugation
+    for a negative seed; no BN Frobenius end steps). Twist type is
+    per-curve: BLS12-381 is an M-twist, BLS12-377 a D-twist."""
 
-    def __init__(self, tp: TowerParams, p: int, r: int, x_seed: int):
+    def __init__(self, tp: TowerParams, p: int, r: int, x_seed: int,
+                 m_twist: bool = True):
         super().__init__(tp, p, r, abs(x_seed))
         self.loop_count = abs(x_seed)
         self.x_negative = x_seed < 0
+        self.m_twist = m_twist
 
     def miller_loop(self, p_g1, q_g2) -> Fp12:
         tp = self.tp
         if p_g1 is None or q_g2 is None:
             return Fp12.one(tp)
         P = (_fp12_from_int(tp, p_g1[0]), _fp12_from_int(tp, p_g1[1]))
-        Q = _untwist(tp, q_g2, m_twist=True)
+        Q = _untwist(tp, q_g2, m_twist=self.m_twist)
         f = Fp12.one(tp)
         R = Q
         for bit in bin(self.loop_count)[3:]:
@@ -256,6 +259,28 @@ def pairing_bls12_381(p_g1, q_g2) -> Fp12:
 
 def multi_pairing_bls12_381(p_list, q_list) -> Fp12:
     return _engine_bls().multi_pairing(p_list, q_list)
+
+
+def _engine_bls377() -> BLSPairing:
+    if "bls12-377" not in _ENGINES:
+        from . import bls12_377 as b377
+
+        _ENGINES["bls12-377"] = BLSPairing(
+            b377.TOWER, b377.P, b377.R, b377.X_SEED, m_twist=False
+        )
+    return _ENGINES["bls12-377"]
+
+
+def pairing_bls12_377(p_g1, q_g2) -> Fp12:
+    return _engine_bls377().pair(p_g1, q_g2)
+
+
+def multi_pairing_bls12_377(p_list, q_list) -> Fp12:
+    return _engine_bls377().multi_pairing(p_list, q_list)
+
+
+def pairing_check_bls12_377(pairs) -> bool:
+    return _engine_bls377().pairing_check(pairs)
 
 
 def pairing_check_bls12_381(pairs) -> bool:

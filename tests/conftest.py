@@ -10,9 +10,15 @@ globally would multiply every compile by ~8x. Multi-chip sharding tests
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import jax
+
+# The site config pins jax.config.jax_platforms to "axon,cpu" at import,
+# which SILENTLY OVERRIDES the JAX_PLATFORMS env var — `env
+# JAX_PLATFORMS=cpu pytest` would still run on the TPU tunnel. Honor the
+# env var explicitly so CPU-only test runs really are CPU-only (and safe
+# to run alongside a TPU job).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

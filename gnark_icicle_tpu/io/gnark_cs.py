@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 
 from . import cbor, intcomp
 from .cbor import Tagged
+from ..constraint.hints import hint_name as _hint_name
 from ..constraint.system import R1CS
 from ..constraint.scs import SparseR1CS, PlonkCommitment
 from ..constraint.system import Groth16Commitment
@@ -331,6 +332,21 @@ def _coeff_mapper(gcs: GnarkCS, intern):
     return map_cid
 
 
+
+def _resolve_hint_id(gcs: GnarkCS, hid32: int) -> int:
+    """gnark stores 32-bit hint ids in calldata; our registry keys are the
+    64-bit FNV-1a of the hint NAME. Recover the full id through
+    MHintsDependencies when the name is known (our exporter always records
+    it), else keep the raw 32-bit id (caller registers an implementation
+    under that id, ≙ solver.RegisterNamedHint)."""
+    from ..constraint.hints import hint_id as name_to_id
+
+    name = gcs.hint_names.get(hid32)
+    if not name or name.startswith("0x"):  # unnamed: keep the raw id
+        return hid32
+    return name_to_id(name)
+
+
 def to_r1cs(gcs: GnarkCS) -> R1CS:
     """Replay the instruction stream into our array-oriented R1CS."""
     if gcs.system_type != SYSTEM_R1CS:
@@ -377,7 +393,7 @@ def to_r1cs(gcs: GnarkCS) -> R1CS:
             cs.add_r1c(l, r, o, solved_wire=sw)
         elif bp.tag == TAG_GENERIC_HINT:
             # [nbInputs, hintID, lenInputs, (lenExpr, (cid,vid)*)*, lo, hi]
-            hint_id = data[1]
+            hint_id = _resolve_hint_id(gcs, data[1])
             n_inputs = data[2]
             j = 3
             inputs = []
@@ -467,7 +483,7 @@ def to_scs(gcs: GnarkCS) -> SparseR1CS:
             # qL⋅xa + qM⋅xa² == 0   [xa qL qM]
             gate(d[0], d[0], 0, coeffs[d[1]], 0, coeffs[d[2]], 0, 0)
         elif t == TAG_GENERIC_HINT:
-            hint_id = d[1]
+            hint_id = _resolve_hint_id(gcs, d[1])
             n_inputs = d[2]
             j = 3
             inputs = []
@@ -570,7 +586,8 @@ def from_r1cs(cs: R1CS) -> GnarkCS:
             gcs.instructions.append(
                 GnarkInstruction(0, n_constraints, wire_hwm, start))
             wire_hwm = max(wire_hwm, hi)
-            gcs.hint_names.setdefault(h.hint_id & 0xFFFFFFFF, "hint")
+            gcs.hint_names.setdefault(
+                h.hint_id & 0xFFFFFFFF, _hint_name(h.hint_id))
     gcs.nb_constraints = n_constraints
     gcs.levels = [
         [i for i in lvl] for lvl in cs.compute_levels()
@@ -591,8 +608,124 @@ def from_r1cs(cs: R1CS) -> GnarkCS:
     return gcs
 
 
+def from_scs(scs: SparseR1CS) -> GnarkCS:
+    """Express our SparseR1CS in gnark's stream shape (blueprint order per
+    the reference SCS builder: hint=0, generic=1, mul=2, add=3, bool=4,
+    frontend/cs/scs/builder.go:121-124; every gate is emitted through the
+    generic 9-word blueprint — a valid formulation the specialized
+    blueprints merely compress)."""
+    from ..constraint.scs import INSTR_GATE, INSTR_HINT
+
+    gcs = GnarkCS(q=scs.q, system_type=SYSTEM_SPARSE_R1CS)
+    gcs.blueprints = [
+        Tagged(TAG_GENERIC_HINT, {}),
+        Tagged(TAG_GENERIC_SPARSE_R1C, {}),
+        Tagged(TAG_SPARSE_R1C_MUL, {}),
+        Tagged(TAG_SPARSE_R1C_ADD, {}),
+        Tagged(TAG_SPARSE_R1C_BOOL, {}),
+    ]
+    gcs.public_names = list(scs.public_names)
+    gcs.secret_names = list(scs.secret_names)
+    gcs.nb_internal = scs.nb_internal
+    n_in = scs.nb_public + scs.nb_secret
+
+    q = scs.q
+    gcs.coeffs = [0, 1, 2, q - 1, q - 2]
+    interned = {0: 0, 1: 1, 2: 2, q - 1: 3, q - 2: 4}
+
+    def cid(v: int) -> int:
+        v %= q
+        i = interned.get(v)
+        if i is None:
+            i = len(gcs.coeffs)
+            gcs.coeffs.append(v)
+            interned[v] = i
+        return i
+
+    wire_hwm = n_in
+    n_constraints = 0
+    for kind, idx in scs.instructions:
+        start = len(gcs.calldata)
+        if kind == INSTR_GATE:
+            gcs.calldata.extend([
+                scs.xa[idx], scs.xb[idx], scs.xc[idx],
+                cid(scs.ql[idx]), cid(scs.qr[idx]), cid(scs.qo[idx]),
+                cid(scs.qm[idx]), cid(scs.qc[idx]),
+                scs.commitment_tags.get(idx, 0),
+            ])
+            gcs.instructions.append(
+                GnarkInstruction(1, n_constraints, wire_hwm, start))
+            n_constraints += 1
+            sw = scs.solved_wire[idx]
+            if sw >= 0:
+                wire_hwm = max(wire_hwm, sw + 1)
+        else:
+            h = scs.hints[idx]
+            lo, hi = (h.outputs[0], h.outputs[-1] + 1) if h.outputs else (0, 0)
+            if list(range(lo, hi)) != list(h.outputs):
+                raise ValueError(
+                    "gnark_cs: hint outputs not contiguous — cannot express "
+                    "as a gnark OutputRange"
+                )
+            data = [0, h.hint_id & 0xFFFFFFFF, len(h.inputs)]
+            for expr in h.inputs:
+                data.append(len(expr))
+                for coeff, w in expr:
+                    data.append(cid(coeff))
+                    data.append(w)
+            data.extend([lo, hi])
+            data[0] = len(data)
+            gcs.calldata.extend(data)
+            gcs.instructions.append(
+                GnarkInstruction(0, n_constraints, wire_hwm, start))
+            wire_hwm = max(wire_hwm, hi)
+            gcs.hint_names.setdefault(
+                h.hint_id & 0xFFFFFFFF, _hint_name(h.hint_id))
+    gcs.nb_constraints = n_constraints
+
+    # dependency levels over the instruction stream (≙ instruction_tree.go;
+    # SparseR1CS keeps none in-memory — derived here for the wire format)
+    wire_level: dict = {}
+    levels: list = []
+    for pos, (kind, idx) in enumerate(scs.instructions):
+        if kind == INSTR_GATE:
+            reads = [
+                w for w in (scs.xa[idx], scs.xb[idx], scs.xc[idx])
+                if w != scs.solved_wire[idx]
+            ]
+            outs = ([scs.solved_wire[idx]]
+                    if scs.solved_wire[idx] >= 0 else [])
+        else:
+            h = scs.hints[idx]
+            reads = [w for expr in h.inputs for _, w in expr]
+            outs = list(h.outputs)
+        lvl = 1 + max(
+            (wire_level.get(w, -1) for w in reads if w >= n_in), default=-1
+        )
+        for w in outs:
+            wire_level[w] = lvl
+        while len(levels) <= lvl:
+            levels.append([])
+        levels[lvl].append(pos)
+    gcs.levels = levels
+
+    if scs.commitments:
+        gcs.commitment_info = Tagged(TAG_PLONK_COMMITMENTS, [
+            {"Committed": list(c.committed),
+             "CommitmentIndex": c.commitment_index}
+            for c in scs.commitments
+        ])
+    else:
+        gcs.commitment_info = Tagged(TAG_PLONK_COMMITMENTS, [])
+    return gcs
+
+
 def write_r1cs(cs: R1CS) -> bytes:
     return encode(from_r1cs(cs))
+
+
+def write_scs(scs: SparseR1CS) -> bytes:
+    return encode(from_scs(scs))
 
 
 def read_r1cs(data: bytes) -> R1CS:

@@ -272,6 +272,43 @@ def test_scs_generic_stream_decodes():
     assert gnark_cs.encode(gnark_cs.decode(blob)) == blob
 
 
+def test_scs_export_import_identity():
+    """A compiled SCS circuit survives export → import with identical gate
+    columns, and the blob is byte-idempotent."""
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.frontend import (
+        Circuit, Public, Secret, compile_circuit,
+    )
+
+    class C(Circuit):
+        x = Secret()
+        y = Public()
+
+        def define(self, api):
+            x3 = api.mul(self.x, self.x, self.x)
+            b = api.is_zero(api.sub(self.x, 3))
+            api.assert_is_equal(api.add(x3, self.x, 5, api.mul(b, 0)),
+                                self.y)
+
+    scs = compile_circuit(bn254.R, C, builder="scs")
+    blob = gnark_cs.write_scs(scs)
+    assert gnark_cs.encode(gnark_cs.decode(blob)) == blob
+    back = gnark_cs.read_scs(blob)
+    assert back.nb_gates == scs.nb_gates
+    for col in ("xa", "xb", "xc", "ql", "qr", "qm", "qo", "qc",
+                "solved_wire"):
+        assert getattr(back, col) == getattr(scs, col), col
+
+    # imported system solves identically
+    from gnark_icicle_tpu.constraint.scs import solve_scs
+
+    x = 7
+    y = (x ** 3 + x + 5) % bn254.R
+    w0 = solve_scs(scs, [y], [x])
+    w1 = solve_scs(back, [y], [x])
+    assert w0[0] == w1[0]
+
+
 def test_decode_rejects_corruption():
     cs, _ = _compile_test_cs()
     blob = bytearray(gnark_cs.write_r1cs(cs))

@@ -12,11 +12,9 @@ Layout:
   frontend/   circuit DSL -> constraint systems (r1cs / scs builders)
   constraint/ constraint IR + levelled witness solver + hint registry
   backend/    Groth16 / PLONK setup-prove-verify, witness, serialization
-  models/     proof-system registry facade (groth16, plonk)
-  parallel/   mesh plumbing, multi-chip MSM / 4-step NTT
+  parallel/   mesh plumbing, multi-chip MSM / 4-step NTT / super-op pipeline
   std/        gadget stdlib (mimc, bits, rangecheck, merkle, ...)
   profile/    constraint-attribution profiler
-  utils/      misc
 """
 
 __version__ = "0.1.0"

@@ -66,6 +66,39 @@ P256_FR = EmulatedParams(
     0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
     64, 4,
 )
+# ≙ emparams.BLS12381Fp/Fr, BLS12377Fp/Fr, BW6761Fp/Fr — the cross-curve
+# recursion fields (emparams.go); moduli shared with curves/{bls12_381,
+# bls12_377,bw6_761}
+BLS12381_FP = EmulatedParams(
+    "bls12-381.fp",
+    0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB,
+    64, 6,
+)
+BLS12381_FR = EmulatedParams(
+    "bls12-381.fr",
+    0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001,
+    64, 4,
+)
+BLS12377_FP = EmulatedParams(
+    "bls12-377.fp",
+    258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177,
+    64, 6,
+)
+BLS12377_FR = EmulatedParams(
+    "bls12-377.fr",
+    8444461749428370424248824938781546531375899335154063827935233455917409239041,
+    64, 4,
+)
+BW6761_FP = EmulatedParams(
+    "bw6-761.fp",
+    6891450384315732539396789682275657542479668912536150109513790160209623422243491736087683183289411687640864567753786613451161759120554247759349511699125301598951605099378508850372543631423596795951899700429969112842764913119068299,
+    64, 12,
+)
+BW6761_FR = EmulatedParams(
+    "bw6-761.fr",
+    258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177,
+    64, 6,
+)
 
 
 def _mulmod_hint(q, inputs):

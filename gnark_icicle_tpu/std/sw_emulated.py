@@ -52,6 +52,41 @@ P256 = SWCurveParams(
 BN254G1 = SWCurveParams("bn254.g1", BN254_FP, BN254_FR, 0, 3, 1, 2)
 
 
+def _bls12381_g1() -> SWCurveParams:
+    """≙ sw_emulated.GetBLS12381Params (curve.go) — G1 over emulated
+    BLS12-381 Fp; generator from curves/bls12_381.py:30."""
+    from .emulated import BLS12381_FP, BLS12381_FR
+    from ..curves import bls12_381 as c
+
+    return SWCurveParams("bls12-381.g1", BLS12381_FP, BLS12381_FR, 0, 4,
+                         c.G1_GEN[0], c.G1_GEN[1])
+
+
+def _bls12377_g1() -> SWCurveParams:
+    """≙ sw_emulated.GetBLS12377Params — G1 over emulated BLS12-377 Fp
+    (the 2-chain inner curve seen from a non-BW6 outer field)."""
+    from .emulated import BLS12377_FP, BLS12377_FR
+    from ..curves import bls12_377 as c
+
+    return SWCurveParams("bls12-377.g1", BLS12377_FP, BLS12377_FR, 0, 1,
+                         c.G1_GEN[0], c.G1_GEN[1])
+
+
+def _bw6761_g1() -> SWCurveParams:
+    """≙ sw_emulated.GetBW6761Params (curve.go) — G1 over emulated
+    BW6-761 Fp (b = −1, curves/bw6_761.py:54)."""
+    from .emulated import BW6761_FP, BW6761_FR
+    from ..curves import bw6_761 as c
+
+    return SWCurveParams("bw6-761.g1", BW6761_FP, BW6761_FR, 0,
+                         c.P - 1, c.G1_GEN[0], c.G1_GEN[1])
+
+
+BLS12381G1 = _bls12381_g1()
+BLS12377G1 = _bls12377_g1()
+BW6761G1 = _bw6761_g1()
+
+
 class AffinePoint:
     __slots__ = ("x", "y")
 

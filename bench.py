@@ -5,10 +5,14 @@ reference publishes no numbers (BASELINE.md — `"published": {}`), so
 vs_baseline is null; the north-star comparison (ICICLE-on-A100 at 2^24) is
 tracked in BASELINE.md.
 
-Design notes: all lanes share one base point — Pippenger's bucket phase is
-scalar-driven (digit histogram), so identical points are perf-equivalent to
-random points while letting the result be verified in O(1) host work
-(Σsᵢ·P). Scalars are uniform over fr.
+Inputs: RANDOM points P_i = k_i·G with secret uniform 32-bit k_i,
+generated ON DEVICE by a fixed-base ladder (distinct coordinates per lane —
+no gather/cache flattery), verified in O(N) host work against
+(Σ s_i·k_i)·G. Scalars are uniform over fr, refreshed every timed
+iteration (the serving stack dedupes repeated identical dispatches).
+
+Modes (BENCH_METRIC): "msm" (default) · "ntt" · "groth16" (end-to-end
+prove latency on a rollup-scale synthetic circuit, BENCH_LOG_N constraints).
 """
 
 import json
@@ -21,6 +25,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _emit(metric, value, unit):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 1), "unit": unit,
+        "vs_baseline": None,
+    }))
+
+
+def _random_points_on_device(ctx, n, rng):
+    """P_i = k_i·G, k_i uniform 32-bit (device ladder, chunked so 2^24
+    fits HBM). Returns device (px, py), inf mask and the host k array."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.ops.fixed_base import FixedBaseMul, batch_normalize
+
+    ks = rng.integers(1, 1 << 32, size=n, dtype=np.int64)
+    fb = FixedBaseMul(ctx.msm_g1.curve, bn254.G1, bn254.G1.generator, 32)
+    chunk = min(n, 1 << 20)
+    xs, ys = [], []
+    for lo in range(0, n, chunk):
+        kl = np.zeros((min(chunk, n - lo), 2), dtype=np.int32)
+        kk = ks[lo : lo + chunk]
+        kl[:, 0] = kk & 0xFFFF
+        kl[:, 1] = (kk >> 16) & 0xFFFF
+        (px, py), inf = batch_normalize(ctx.msm_g1.curve,
+                                        fb.mul(jnp.asarray(kl)))
+        assert not bool(jnp.any(inf))  # k_i ≥ 1 and G has prime order
+        xs.append(px)
+        ys.append(py)
+    px = jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+    py = jnp.concatenate(ys) if len(ys) > 1 else ys[0]
+    jax.block_until_ready((px, py))
+    return px, py, ks
+
+
 def main():
     import jax
 
@@ -30,7 +70,6 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    import random
 
     from gnark_icicle_tpu.curves import bn254
     from gnark_icicle_tpu.device import DeviceCtx
@@ -40,32 +79,28 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     n = 1 << log_n
 
-    if os.environ.get("BENCH_METRIC", "msm") == "ntt":
+    metric = os.environ.get("BENCH_METRIC", "msm")
+    if metric == "ntt":
         return bench_ntt(log_n, iters)
-
-    ctx = DeviceCtx(bn254.BN254)
-    rng = random.Random(7)
-    pt = bn254.G1.random_point(rng)
-    (px, py), inf = ctx.g1_points([pt])
-    px = np.broadcast_to(np.asarray(px), (n, ctx.fp_dev.K)).copy()
-    py = np.broadcast_to(np.asarray(py), (n, ctx.fp_dev.K)).copy()
-    inf = np.zeros(n, dtype=bool)
-
-    nprng = np.random.default_rng(7)
-    scal = nprng.integers(0, 1 << 16, size=(n, ctx.fr_dev.K), dtype=np.int32)
-    scal[:, -1] &= 0x3FFF  # keep scalars < 2^254 (< r·(1+eps); exactness
-    # of the sum check handles the mod)
+    if metric == "groth16":
+        return bench_groth16(log_n, iters)
 
     import jax.numpy as jnp
 
-    px_d, py_d = jnp.asarray(px), jnp.asarray(py)
-    inf_d, scal_d = jnp.asarray(inf), jnp.asarray(scal)
+    ctx = DeviceCtx(bn254.BN254)
+    nprng = np.random.default_rng(7)
+    px_d, py_d, ks = _random_points_on_device(ctx, n, nprng)
+    inf_d = jnp.zeros(n, dtype=bool)
+
+    scal = nprng.integers(0, 1 << 16, size=(n, ctx.fr_dev.K), dtype=np.int32)
+    scal[:, -1] &= 0x3FFF  # keep scalars < 2^254 (< r·(1+eps); exactness
+    # of the sum check handles the mod)
 
     c = pick_window(n)
     kern = ctx.msm_g1
 
     # compile + warmup
-    res = kern.msm((px_d, py_d), inf_d, scal_d, c)
+    res = kern.msm((px_d, py_d), inf_d, jnp.asarray(scal), c)
     jax.block_until_ready(res)
 
     # fresh scalar buffer per iteration (dedupe-proof timing); keep the last
@@ -76,26 +111,21 @@ def main():
         scal_d = jnp.asarray(scal)
         t0 = time.perf_counter()
         res = kern.msm((px_d, py_d), inf_d, scal_d, c)
-        jax.block_until_ready(res)
+        got_host = ctx.g1_to_host(res)  # host transfer = real barrier
         times.append(time.perf_counter() - t0)
     best = min(times)
 
-    # O(1) correctness check: result must equal (Σ sᵢ)·P
-    got = ctx.g1_to_host(res)
+    # O(N) host verification: result must equal (Σ s_i·k_i mod r)·G
+    q = bn254.R
+    pw = [pow(2, 16 * j, q) for j in range(scal.shape[1])]
     total = 0
-    pw = 1
-    for limb_col in range(scal.shape[1]):
-        total += int(scal[:, limb_col].astype(object).sum()) * pw
-        pw <<= 16
-    want = bn254.G1.scalar_mul(pt, total % bn254.R)
-    assert got == want, "bench MSM result failed verification"
+    cols = scal.astype(object)
+    for j in range(scal.shape[1]):
+        total += int((cols[:, j] * ks.astype(object)).sum()) * pw[j]
+    want = bn254.G1.scalar_mul(bn254.G1.generator, total % q)
+    assert got_host == want, "bench MSM result failed verification"
 
-    print(json.dumps({
-        "metric": f"msm_g1_bn254_2^{log_n}",
-        "value": round(n / best, 1),
-        "unit": "points/s",
-        "vs_baseline": None,
-    }))
+    _emit(f"msm_g1_bn254_2^{log_n}", n / best, "points/s")
 
 
 def bench_ntt(log_n: int, iters: int):
@@ -103,12 +133,9 @@ def bench_ntt(log_n: int, iters: int):
 
     Verified against a host evaluation at one random point (the NTT output
     at index j is p(ω^j))."""
-    import json as _json
     import random
-    import time as _time
 
     import jax
-    import numpy as np
 
     from gnark_icicle_tpu.curves import bn254
     from gnark_icicle_tpu.device import DeviceCtx
@@ -131,16 +158,15 @@ def bench_ntt(log_n: int, iters: int):
     jax.block_until_ready(res)
     times = []
     for i in range(iters):
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         res = dom.ntt(variants[i])
         jax.block_until_ready(res)
-        times.append(_time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     best = min(times)
 
     # spot-check one output coefficient against host Horner
     q = bn254.R
     j = random.Random(5).randrange(n)
-    coeffs = [0] * n
     got_j = ctx.fr_dev.decode(np.asarray(res[j : j + 1]))[0]
     limbs_used = limbs.copy()
     limbs_used[0, 0] = (limbs_used[0, 0] + (iters - 1)) & 0x3FFF
@@ -157,12 +183,61 @@ def bench_ntt(log_n: int, iters: int):
         want = (want * wj + c) % q
     assert got_j == want, "NTT output failed host verification"
 
-    print(_json.dumps({
-        "metric": f"ntt_fr_bn254_2^{log_n}",
-        "value": round(n / best, 1),
-        "unit": "elems/s",
-        "vs_baseline": None,
-    }))
+    _emit(f"ntt_fr_bn254_2^{log_n}", n / best, "elems/s")
+
+
+def bench_groth16(log_n: int, iters: int):
+    """End-to-end Groth16 prove latency on a synthetic rollup-scale chain
+    x_{i+1} = x_i² + x_i + i (one mul gate per step, ≈2^BENCH_LOG_N
+    constraints — BASELINE.md's 'prove latency at rollup-scale (~2^20)'
+    anchor). Setup/compile excluded; prove timed end-to-end incl. solve."""
+    import random
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.frontend import (
+        Circuit, Public, Secret, compile_circuit,
+    )
+    from gnark_icicle_tpu.backend import groth16
+    from gnark_icicle_tpu.logger import logger
+
+    q = bn254.R
+    steps = (1 << log_n) - 2  # + the final equality ≈ 2^log_n constraints
+
+    class Chain(Circuit):
+        x = Secret()
+        out = Public()
+
+        def define(self, api):
+            v = self.x
+            for i in range(steps):
+                v = api.add(api.mul(v, v), v, i)
+            api.assert_is_equal(v, self.out)
+
+    t0 = time.perf_counter()
+    cs = compile_circuit(q, Chain)
+    logger.info("bench_groth16: compiled %d constraints in %.1fs",
+                cs.nb_constraints, time.perf_counter() - t0)
+
+    x0 = 3
+    v = x0
+    for i in range(steps):
+        v = (v * v + v + i) % q
+    pub, sec = [v], [x0]
+
+    t0 = time.perf_counter()
+    pk, vk = groth16.setup(cs, bn254.BN254, rng=random.Random(1))
+    logger.info("bench_groth16: setup in %.1fs", time.perf_counter() - t0)
+
+    rng = random.Random(2)
+    proof = groth16.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)  # warmup
+    groth16.verify(proof, vk, pub, bn254.BN254)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        proof = groth16.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)
+        times.append(time.perf_counter() - t0)
+    groth16.verify(proof, vk, pub, bn254.BN254)
+    _emit(f"groth16_prove_bn254_2^{log_n}c", min(times), "s/proof")
 
 
 if __name__ == "__main__":

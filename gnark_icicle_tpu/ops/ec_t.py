@@ -73,9 +73,10 @@ class TCurve:
         import os
 
         self.use_mxu = os.environ.get("GNARK_TPU_T_MXU", "1") != "0"
-        self._tables = tuple(
-            jnp.asarray(t) for t in self.t.redc_tables()
-        )
+        # keep the REDC tables as HOST arrays: the singleton outlives any
+        # single trace, and jnp constants created inside a jit trace would
+        # leak tracers into later traces (UnexpectedTracerError)
+        self._tables = tuple(self.t.redc_tables())
 
     # -- constructors --------------------------------------------------------
     def _const_col(self, v: int):

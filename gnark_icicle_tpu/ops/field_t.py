@@ -151,11 +151,15 @@ class TFieldOps:
 
     # -- MXU-REDC variant -----------------------------------------------------
     def redc_tables(self, pad_to: int = 128):
-        """Host fp32 Toeplitz tables for the two REDC constant products
+        """Host bf16 Toeplitz tables for the two REDC constant products
         (≙ MXUConstMul's np/p tables, transposed orientation): row i,
         col c hold the constant's 8-bit limb (c − i). Lane-padded to
         `pad_to` columns — Mosaic wants full lane tiles as kernel inputs
-        (same trick as ops/ec_pallas._TileFieldMXU)."""
+        (same trick as ops/ec_pallas._TileFieldMXU). bf16 entries ≤ 255
+        are exact (8 significand bits), and bf16×bf16→fp32 is the MXU's
+        NATIVE full-rate mode — fp32 inputs run the slow emulated path."""
+        import ml_dtypes
+
         K8 = 2 * self.K
         np8 = [(self.F.nprime >> (8 * i)) & 0xFF for i in range(K8)]
         p8 = [(self.F.modulus >> (8 * i)) & 0xFF for i in range(K8)]
@@ -166,17 +170,20 @@ class TFieldOps:
                 np_t[i, c] = np8[c - i]
             for c in range(i, i + K8):      # full product: cols < 2·K8
                 p_t[i, c] = p8[c - i]
-        return np_t, p_t
+        return (np_t.astype(ml_dtypes.bfloat16),
+                p_t.astype(ml_dtypes.bfloat16))
 
     def mul_rows_mxu(self, xr, yr, np_t, p_t):
         """mont_mul with the t = x·y schoolbook on the VPU (256 int muls)
-        and both REDC constant products as fp32 MXU matmuls (exactness:
-        8-bit inputs ≤ 256 are bf16-exact; column sums < 2^24 are
-        fp32-exact — the MXUConstMul bound audit, ops/mxu_field.py).
-        Bit-identical to mul_rows (test-asserted)."""
+        and both REDC constant products as bf16 MXU matmuls (exactness:
+        inputs ≤ 256 and table entries ≤ 255 are bf16-exact — 8
+        significand bits; products accumulate in fp32, column sums < 2^24
+        so the fp32 results are exact — the MXUConstMul bound audit,
+        ops/mxu_field.py). Bit-identical to mul_rows (test-asserted)."""
         K = self.K
         K8 = 2 * K
         f32 = jnp.float32
+        bf16 = jnp.bfloat16
         t = self._wide(xr, yr)
         tc, _ = self._carry(t)              # 2K+1 exact 16-bit rows
         # 8-bit split of the low half (t mod R)
@@ -184,13 +191,12 @@ class TFieldOps:
         for i in range(K):
             x8.append(tc[i] & 0xFF)
             x8.append(tc[i] >> 8)
-        # u32 → i32 → f32: Mosaic has no direct u32↔f32 casts; values
-        # here are ≤ 255 / < 2^24 so the i32 hop is exact
-        xf = jnp.stack(x8).astype(jnp.int32).astype(f32)  # (K8, B) ≤ 255
+        # u32 → i32 → bf16: values ≤ 255 are exact in bf16
+        xf = jnp.stack(x8).astype(jnp.int32).astype(bf16)  # (K8, B) ≤ 255
         m = jax.lax.dot_general(
             np_t, xf, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )[:K8]                              # (K8, B) cols < 2^21
+        )[:K8]                              # (K8, B) cols < 2^21, exact f32
         # relax to limbs ≤ 256 (value-preserving mod R: the top carry
         # drops = subtracting multiples of 256^K8 = R)
         for _ in range(3):
@@ -198,7 +204,7 @@ class TFieldOps:
             lo = m - c * 256.0
             m = lo + jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], 0)
         u = jax.lax.dot_general(
-            p_t, m, (((0,), (0,)), ((), ())),
+            p_t, m.astype(bf16), (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )[: 2 * K8]                         # (2K8, B) cols < 2^24
         u_i = u.astype(jnp.int32).astype(U32)

@@ -189,13 +189,29 @@ class MSMKernel:
                            n, L, inv_order):
         """Staged-wave bucket accumulation with (K, L) transposed
         accumulators and fused Pallas adds. Returns transposed buckets,
-        per coord (K, W·B), in (window, bucket) order."""
+        per coord (K, W·B), in (window, bucket) order.
+
+        Points are gathered PACKED — two 16-bit limbs per int32, 64 B per
+        (x‖y) row instead of 128 B: the on-chip gather is per-row-overhead
+        bound (probe: 26 M rows/s at 128 B vs 44.6 M at 64 B), so packing
+        is a ~1.7x win on the wave phase's dominant non-compute cost."""
         K = tc.K
-        packed = jnp.concatenate([points[0], points[1]], axis=1)  # (N, 2K)
+        K2 = K // 2
+
+        def pack(a):  # (N, K) 16-bit limbs -> (N, K/2) packed u32
+            a = a.astype(jnp.uint32)
+            return (a[:, 0::2] | (a[:, 1::2] << 16)).astype(jnp.int32)
+
+        packed = jnp.concatenate([pack(points[0]), pack(points[1])], axis=1)
         acc = tc.identity(L)
 
         def make_wave(S, meta):
             starts_s, counts_s, win_s = meta
+
+            def unpack(rows):  # (K2, S) u32 -> (K, S) interleaved limbs
+                lo = (rows & jnp.uint32(0xFFFF))
+                hi = (rows >> 16)
+                return jnp.stack([lo, hi], axis=1).reshape(K, S)
 
             def wave(state):
                 t, acc_s = state
@@ -203,9 +219,10 @@ class MSMKernel:
                 valid = t < counts_s
                 flat_idx = win_s * n + idx_sorted
                 pt_idx = order_flat[flat_idx]
-                g = packed[pt_idx]                # (S, 2K) row gather
-                gt = jnp.transpose(g, (1, 0))
-                q = (gt[:K], gt[K:2 * K])
+                g = packed[pt_idx]                # (S, K) 64B row gather
+                gt = jnp.transpose(g, (1, 0)).astype(jnp.uint32)
+                q = (unpack(gt[:K2]).astype(jnp.int32),
+                     unpack(gt[K2:]).astype(jnp.int32))
                 sg = sign_flat[flat_idx].astype(jnp.int32)
                 return t + 1, tc.add_mixed_masked(acc_s, q, valid, sg)
 
@@ -257,36 +274,68 @@ class MSMKernel:
         s = self._suffix_scan_t(tc, self._suffix_scan_t(tc, P, m), m)
         return tuple(a[..., 0] for a in s)
 
+    def _tree_sum_t(self, tc, P, m: int):
+        """Unweighted Σ_i P_i along the last axis via pairwise halving —
+        m−1 adds total (work-efficient, log m dispatch depth)."""
+        K = P[0].shape[0]
+        while m > 1:
+            half = m // 2
+            g = tuple(a.reshape(a.shape[:-1] + (half, 2)) for a in P)
+            flat = lambda t_: tuple(a.reshape(K, -1) for a in t_)
+            a0 = tuple(a[..., 0] for a in g)
+            a1 = tuple(a[..., 1] for a in g)
+            added = tc.add(flat(a0), flat(a1))
+            P = tuple(a.reshape(a0[0].shape) for a in added)
+            m = half
+        return tuple(a[..., 0] for a in P)
+
+    def _weighted_chunked_t(self, tc, P, m: int):
+        """Σ_{i=0}^{m-1} (i+1)·P_i along the last axis, WORK-EFFICIENT.
+
+        The log-depth double-suffix-scan costs 2·m·log₂(m) adds; at MSM
+        bucket counts (B = 2^15) that dwarfs the wave phase itself. This
+        version splits i = v·M + j (V chunks of M) and runs the classic
+        sequential running/acc recurrence over j — vectorized across all
+        chunks — for 2·m adds, then combines chunk totals recursively:
+
+            Σ (vM+j+1)·P = Σ_v acc_v + M·(Σ_v (v+1)·T_v − Σ_v T_v)
+
+        (≙ the role of gnark-crypto msm.go's running-sum loop, done with
+        lanes = chunks instead of serially.)"""
+        if m <= 128:
+            return self._weighted_sum_t(tc, P, m)
+        K = P[0].shape[0]
+        lead = P[0].shape[1:-1]
+        # M serial steps of adds over (lead × V) lanes; V capped so the
+        # serial depth stays ≤ ~32 while lanes stay kernel-sized
+        M = max(m // 2048, 8)
+        V = m // M
+        assert V * M == m
+        g = tuple(a.reshape(a.shape[:-1] + (V, M)) for a in P)
+        flat = lambda t_: tuple(a.reshape(K, -1) for a in t_)
+        running = tc.identity(int(np.prod(lead, dtype=np.int64)) * V)
+        acc = running
+        for j in range(M - 1, -1, -1):
+            pj = flat(tuple(a[..., j] for a in g))
+            running = tc.add(running, pj)
+            acc = tc.add(acc, running)
+        shp = (K,) + lead + (V,)
+        T = tuple(a.reshape(shp) for a in running)   # chunk totals
+        A = tuple(a.reshape(shp) for a in acc)       # Σ_j (j+1)·P_{v,j}
+        sum_a = self._tree_sum_t(tc, A, V)           # (K, lead)
+        w_t = self._weighted_chunked_t(tc, T, V)     # Σ (v+1)·T_v
+        sum_t = self._tree_sum_t(tc, T, V)
+        hi = tc.add(w_t, (sum_t[0], tc._neg(sum_t[1]), sum_t[2]))
+        for _ in range(M.bit_length() - 1):          # ×M (power of two)
+            hi = tc.double(hi)
+        return tc.add(sum_a, hi)
+
     def _bucket_reduce_t(self, tc, buckets_t, W: int, B: int):
         """Σ_b (b+1)·bucket[w, b] per window, fully transposed; returns
         (W, K) per-coord arrays for the (tiny) Horner phase."""
         K = buckets_t[0].shape[0]
         grid = tuple(a.reshape(K, W, B) for a in buckets_t)
-        if B <= 128:
-            res = self._weighted_sum_t(tc, grid, B)  # (K, W)
-        else:
-            log_b = (B - 1).bit_length()
-            log_l = log_b // 2
-            L = 1 << log_l
-            H = B // L
-            assert H * L == B
-            g = tuple(a.reshape(K, W, H, L) for a in grid)
-            rows = tuple(a[..., 0] for a in
-                         self._suffix_scan_t(tc, g, L))        # (K, W, H)
-            g_t = tuple(jnp.swapaxes(a, -1, -2) for a in g)
-            cols = tuple(a[..., 0] for a in
-                         self._suffix_scan_t(tc, g_t, H))      # (K, W, L)
-            s1 = self._suffix_scan_t(tc, rows, H)
-            tot_rows = tuple(a[..., 0] for a in s1)            # (K, W)
-            w_rows = tuple(a[..., 0] for a in
-                           self._suffix_scan_t(tc, s1, H))
-            neg_tot = (tot_rows[0],
-                       tc._neg(tot_rows[1]), tot_rows[2])
-            hi = tc.add(w_rows, neg_tot)                       # Σ hi·R_hi
-            for _ in range(log_l):
-                hi = tc.double(hi)
-            w_cols = self._weighted_sum_t(tc, cols, L)
-            res = tc.add(hi, w_cols)                           # (K, W)
+        res = self._weighted_chunked_t(tc, grid, B)  # (K, W)
         return tuple(jnp.transpose(a, (1, 0)) for a in res)
 
     # ------------------------------------------------------------------

@@ -108,6 +108,11 @@ class Domain:
 
             self._mxu = MXUConstMul(F)
             self._mxu_max_m = int(os.environ.get("GNARK_TPU_MXU_MAX_M", "4096"))
+        # transposed (K, lanes) butterfly engine: limbs on sublanes, lanes =
+        # elements — unpadded elementwise passes + the fused Pallas mont_mul
+        # at the measured ~135 M muls/s (vs 12-18 M in (N, K) layout); also
+        # the only layout whose stage temps fit HBM at 2^24 (PERF_NOTES.md)
+        self._use_t = os.environ.get("GNARK_TPU_T_NTT", "1") == "1"
 
         self.coset_gen = coset_gen
         if coset_gen is not None:
@@ -154,9 +159,74 @@ class Domain:
         out = self._mxu.mul_const_batched(grouped, tables)
         return jnp.swapaxes(out, 0, 1).reshape(batch + (m, F.K))
 
+    # -- transposed stage engine --------------------------------------------
+    def _t_active(self) -> bool:
+        return self._use_t and jax.default_backend() == "tpu"
+
+    def _tmul(self, x2d, y2d):
+        """(K, L) fused-Pallas mont_mul, padding L to the block size."""
+        from .field_t import TField
+
+        tf = TField(self.F)
+        bn = tf.block_n
+        L = x2d.shape[1]
+        rem = (-L) % bn
+        if rem:
+            x2d = jnp.pad(x2d, ((0, 0), (0, rem)))
+            y2d = jnp.pad(y2d, ((0, 0), (0, rem)))
+        out = tf.mont_mul(x2d, y2d)
+        return out[:, :L] if rem else out
+
+    def _butterflies_t(self, x, tw, dif: bool):
+        """All log_n stages in transposed (K, lanes) layout.
+
+        x: (..., n, K) int32 — transposed once on entry and once on exit;
+        every stage is one unpadded add/sub pass plus one fused mont_mul
+        over the d-half lanes.
+        """
+        from .field_t import TFieldOps, U32
+
+        F, n = self.F, self.n
+        K = F.K
+        t = TFieldOps(F)
+        batch = x.shape[:-2]
+        xt = jnp.moveaxis(x, -1, 0).astype(U32)          # (K, ..., n)
+        tw_t = jnp.moveaxis(tw, -1, 0).astype(U32)       # (K, n/2)
+        stages = ([1 << s for s in range(self.log_n - 1, -1, -1)]
+                  if dif else [1 << s for s in range(self.log_n)])
+        for m in stages:
+            stride = n // (2 * m)
+            w = tw_t[:, ::stride][:, :m]                 # (K, m)
+            v = xt.reshape((K,) + batch + (-1, 2, m))
+            a = v[..., 0, :]
+            b = v[..., 1, :]
+            g = a.shape[-2]                              # n/(2m) groups
+            wf = jnp.broadcast_to(
+                w.reshape((K,) + (1,) * (a.ndim - 2) + (m,)), a.shape
+            ).reshape(K, -1)
+            ar = [a[i] for i in range(K)]
+            br = [b[i] for i in range(K)]
+            if dif:
+                s_rows = t.add_rows(ar, br)
+                d2 = jnp.stack(t.sub_rows(ar, br)).reshape(K, -1)
+                dw = self._tmul(d2, wf).astype(U32).reshape(a.shape)
+                s_arr = jnp.stack(s_rows)
+                xt = jnp.stack([s_arr, dw], axis=-2)
+            else:
+                b2 = jnp.stack(br).reshape(K, -1)
+                bw = self._tmul(b2, wf).astype(U32).reshape(a.shape)
+                bwr = [bw[i] for i in range(K)]
+                s_arr = jnp.stack(t.add_rows(ar, bwr))
+                d_arr = jnp.stack(t.sub_rows(ar, bwr))
+                xt = jnp.stack([s_arr, d_arr], axis=-2)
+            xt = xt.reshape((K,) + batch + (-1,))
+        return jnp.moveaxis(xt, 0, -1).astype(I32)
+
     def _dif(self, x, tw):
         """Natural-order input -> bit-reversed output (decimation in freq)."""
         F, n = self.F, self.n
+        if self._t_active():
+            return self._butterflies_t(x, tw, dif=True)
         tw_key = "f" if tw is self.tw_fwd else "i"
         batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n - 1, -1, -1)]:
@@ -172,6 +242,8 @@ class Domain:
     def _dit(self, x, tw):
         """Bit-reversed input -> natural-order output (decimation in time)."""
         F, n = self.F, self.n
+        if self._t_active():
+            return self._butterflies_t(x, tw, dif=False)
         tw_key = "f" if tw is self.tw_fwd else "i"
         batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n)]:

@@ -92,6 +92,51 @@ def test_msm_g2_random(n):
     assert got == want
 
 
+def test_weighted_chunked_reduction_matches_scan():
+    """The work-efficient chunked Σ(b+1)·P_b must be bit-identical to the
+    known-good double-suffix-scan on transposed coords (B=256 forces the
+    chunked branch and its recursion). TPU-only: the ~80-EC-add jit graph
+    makes XLA-CPU compilation blow up (>60 GB RSS observed)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("XLA-CPU compile of the fused EC graph is pathological")
+
+    from gnark_icicle_tpu.ops.ec_t import TCurve
+    from gnark_icicle_tpu.ops.msm import MSMKernel
+
+    rng = random.Random(55)
+    W, B = 2, 256
+    tc = TCurve(FP_DEV, 9)
+    kern = MSMKernel(G1_DEV, scalar_bits=bn254.R.bit_length())
+    pts = [bn254.G1.random_point(rng) for _ in range(W * B)]
+    # a few identities sprinkled in (empty buckets in real MSMs)
+    ident_at = {3, 100, 777}
+    f = G1_DEV.f
+    enc = lambda vals: jnp.transpose(jnp.asarray(f.encode(vals)), (1, 0))
+    X = enc([p[0] for p in pts])
+    Y = enc([p[1] for p in pts])
+    K = X.shape[0]
+    idt = tc.identity(W * B)
+    mask = jnp.asarray([i in ident_at for i in range(W * B)])
+    Z = jnp.where(mask, idt[2], jnp.broadcast_to(idt[1], X.shape))
+    X = jnp.where(mask, idt[0], X)
+    Y = jnp.where(mask, idt[1], Y)
+    P = tuple(a.reshape(K, W, B) for a in (X, Y, Z))
+
+    got = jax.jit(lambda q: kern._weighted_chunked_t(tc, q, B))(P)
+    want = jax.jit(lambda q: kern._weighted_sum_t(tc, q, B))(P)
+    # compare affine (projective coords differ by construction)
+    import numpy as np
+
+    def to_aff(res):
+        batched = tuple(jnp.transpose(a, (1, 0)) for a in res)
+        return G1_DEV.to_affine_host(batched, bn254.P)
+
+    assert to_aff(got) == to_aff(want)
+
+
 def test_msm_g2_infinity_and_zero():
     rng = random.Random(11)
     pts = [bn254.G2.random_point(rng) for _ in range(5)]

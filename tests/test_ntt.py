@@ -94,3 +94,28 @@ def test_coset_pipeline(log_n):
     perm = bitrev_indices(n)
     got = np.asarray(back_rev)[perm]
     assert F.decode(got) == coeffs
+
+
+@pytest.mark.parametrize("log_n", [0, 1, 4, 6])
+def test_transposed_butterflies_bit_exact(log_n):
+    """The transposed (K, lanes) stage engine must match the (N, K) path
+    bit-for-bit — both DIF and DIT, forward and inverse twiddles, with a
+    batch dim (the 4-step parallel NTT shape)."""
+    import jax.numpy as jnp
+
+    q = FR.modulus
+    n = 1 << log_n
+    rng = random.Random(100 + log_n)
+    dom = domain_for(F, FR, log_n)
+    vals = [rng.randrange(q) for _ in range(2 * n)]
+    x = jnp.asarray(F.encode(vals)).reshape(2, n, F.K)  # batch of 2
+    for tw in (dom.tw_fwd, dom.tw_inv):
+        for dif in (True, False):
+            got = dom._butterflies_t(x, tw, dif=dif)
+            saved = dom._use_t
+            dom._use_t = False
+            try:
+                want = dom._dif(x, tw) if dif else dom._dit(x, tw)
+            finally:
+                dom._use_t = saved
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

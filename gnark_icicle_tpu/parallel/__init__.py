@@ -4,5 +4,9 @@ reference's single-process goroutine/GPU parallelism)."""
 
 from .msm import sharded_msm
 from .ntt import ShardedNTT
+from .pipeline import dispatch_msm, pipelined_groth16_msms, split_submeshes
 
-__all__ = ["sharded_msm", "ShardedNTT"]
+__all__ = [
+    "sharded_msm", "ShardedNTT",
+    "split_submeshes", "dispatch_msm", "pipelined_groth16_msms",
+]

@@ -52,7 +52,7 @@ def sharded_msm(kernel: MSMKernel, mesh: Mesh, axis: str,
         local,
         mesh=mesh,
         in_specs=(spec_in, P(axis), P(axis)),
-        out_specs=jax.tree.map(lambda _: P(), points[0]),
+        out_specs=P(),  # replicated; prefix spec covers G1 and G2 trees
         check_rep=False,
     )
     return fn(points, inf_mask, scalar_limbs)

@@ -70,6 +70,59 @@ def main():
     assert got_pt == want_pt, f"sharded MSM mismatch: {got_pt} != {want_pt}"
     print("sharded MSM: OK")
 
+    # --- super-op pipelining over sub-meshes (SURVEY §2.4(c)) --------------
+    # 4 disjoint 2-device sub-meshes; 3 G1 MSM jobs + 1 G2 job dispatched
+    # before any result is awaited. Each result must match the host oracle
+    # (a sub-mesh placement bug can't cancel out across jobs).
+    import time
+
+    from gnark_icicle_tpu.parallel.pipeline import (
+        dispatch_msm, split_submeshes,
+    )
+
+    meshes = split_submeshes(jax.devices(), {"a": 2, "b1": 2, "b2": 2,
+                                             "hk": 2})
+    n_job = 47  # odd: exercises the infinity/zero-scalar padding path
+    jobs = []
+    for name in ("a", "b1", "hk"):
+        jpts = [bn254.G1.random_point(rng) for _ in range(n_job)]
+        jpts[0] = None
+        jsc = [rng.randrange(bn254.R) for _ in range(n_job)]
+        dummy = jpts[1]
+        (jx, jy), _ = ctx.g1_points(
+            [p if p is not None else dummy for p in jpts])
+        jinf = jnp.asarray(np.array([p is None for p in jpts]))
+        jobs.append((name, ctx.msm_g1, (jx, jy), jinf,
+                     ctx.fr_scalars(jsc), bn254.G1.msm(jsc, jpts),
+                     ctx.g1_to_host))
+    g2pts = [bn254.G2.random_point(rng) for _ in range(n_job)]
+    g2sc = [rng.randrange(bn254.R) for _ in range(n_job)]
+    g2p, g2inf = ctx.g2_points(g2pts)
+    jobs.append(("b2", ctx.msm_g2, g2p, g2inf, ctx.fr_scalars(g2sc),
+                 bn254.G2.msm(g2sc, g2pts), ctx.g2_to_host))
+
+    # serial: await each dispatch before issuing the next
+    t0 = time.perf_counter()
+    for name, kern, pts_d, inf_d, sc_d, _, _ in jobs:
+        jax.block_until_ready(dispatch_msm(kern, meshes[name], pts_d,
+                                           inf_d, sc_d))
+    t_serial = time.perf_counter() - t0
+
+    # pipelined: issue all four, then await
+    t0 = time.perf_counter()
+    results = [
+        dispatch_msm(kern, meshes[name], pts_d, inf_d, sc_d)
+        for name, kern, pts_d, inf_d, sc_d, _, _ in jobs
+    ]
+    jax.block_until_ready(results)
+    t_pipe = time.perf_counter() - t0
+
+    for (name, _, _, _, _, want, to_host), res_d in zip(jobs, results):
+        got = to_host(res_d)
+        assert got == want, f"pipelined MSM[{name}] mismatch"
+    print(f"pipelined sub-mesh MSMs: OK "
+          f"(serial {t_serial*1e3:.0f} ms vs pipelined {t_pipe*1e3:.0f} ms)")
+
 
 if __name__ == "__main__":
     main()

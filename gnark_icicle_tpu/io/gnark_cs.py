@@ -445,6 +445,16 @@ def to_scs(gcs: GnarkCS) -> SparseR1CS:
     q = gcs.q
     M1 = q - 1
 
+    # Our SCS convention: the first nb_public gates are public-input gates
+    # (−x_i + PI_i(Qk) = 0, frontend/scs_builder.py:39-45) whose Qk column
+    # carries the public value at prove time. gnark's stream has NO such
+    # gates (its PLONK prover feeds publics through a separate PI
+    # polynomial, backend/plonk/bn254/prove.go) — synthesize them here so
+    # the imported system drives our prover unchanged; from_scs strips
+    # them again (round-trip identity).
+    for i in range(scs.nb_public):
+        scs.add_gate(i, i, i, q - 1, 0, 0, 0, 0, solved_wire=-1)
+
     def gate(xa, xb, xc, ql, qr, qm, qo, qc, commit=0):
         # reconstruct the solved wire (gnark derives it at solve time,
         # blueprint_scs.go:64-120): the single not-yet-defined wire
@@ -506,7 +516,9 @@ def to_scs(gcs: GnarkCS) -> SparseR1CS:
     for c in _commitment_list(gcs.commitment_info, TAG_PLONK_COMMITMENTS):
         scs.commitments.append(PlonkCommitment(
             committed=list(c.get("Committed") or []),
-            commitment_index=c.get("CommitmentIndex", 0),
+            # gnark counts constraints only; our gate indices include the
+            # synthesized leading public-input gates
+            commitment_index=c.get("CommitmentIndex", 0) + scs.nb_public,
         ))
     return scs
 
@@ -645,6 +657,10 @@ def from_scs(scs: SparseR1CS) -> GnarkCS:
     wire_hwm = n_in
     n_constraints = 0
     for kind, idx in scs.instructions:
+        if kind == INSTR_GATE and idx < scs.nb_public:
+            # our leading public-input (Qk) gates — gnark's stream has no
+            # equivalent (see to_scs, which re-synthesizes them on import)
+            continue
         start = len(gcs.calldata)
         if kind == INSTR_GATE:
             gcs.calldata.extend([
@@ -687,7 +703,11 @@ def from_scs(scs: SparseR1CS) -> GnarkCS:
     # SparseR1CS keeps none in-memory — derived here for the wire format)
     wire_level: dict = {}
     levels: list = []
-    for pos, (kind, idx) in enumerate(scs.instructions):
+    pos = -1
+    for kind, idx in scs.instructions:
+        if kind == INSTR_GATE and idx < scs.nb_public:
+            continue  # stripped public-input gates (see above)
+        pos += 1
         if kind == INSTR_GATE:
             reads = [
                 w for w in (scs.xa[idx], scs.xb[idx], scs.xc[idx])
@@ -712,7 +732,7 @@ def from_scs(scs: SparseR1CS) -> GnarkCS:
     if scs.commitments:
         gcs.commitment_info = Tagged(TAG_PLONK_COMMITMENTS, [
             {"Committed": list(c.committed),
-             "CommitmentIndex": c.commitment_index}
+             "CommitmentIndex": c.commitment_index - scs.nb_public}
             for c in scs.commitments
         ])
     else:

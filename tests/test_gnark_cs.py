@@ -262,11 +262,13 @@ def test_scs_generic_stream_decodes():
     ]
     gcs.nb_constraints = 4
     scs = gnark_cs.to_scs(gcs)
-    assert scs.nb_gates == 4
-    assert scs.qm[0] == 1 and scs.qo[0] == q - 1
-    assert scs.qc[1] == 5 and scs.qo[1] == q - 1
-    assert scs.ql[2] == 1 and scs.qm[2] == q - 1
-    assert scs.solved_wire[:2] == [4, 5] and scs.solved_wire[2] == -1
+    # 4 translated gates + 1 synthesized public-input (Qk) gate at the head
+    assert scs.nb_gates == 5
+    assert scs.ql[0] == q - 1 and scs.xa[0] == 0  # PI gate for "out"
+    assert scs.qm[1] == 1 and scs.qo[1] == q - 1
+    assert scs.qc[2] == 5 and scs.qo[2] == q - 1
+    assert scs.ql[3] == 1 and scs.qm[3] == q - 1
+    assert scs.solved_wire[1:3] == [4, 5] and scs.solved_wire[3] == -1
     # byte idempotence through the container too
     blob = gnark_cs.encode(gcs)
     assert gnark_cs.encode(gnark_cs.decode(blob)) == blob
@@ -337,3 +339,139 @@ def test_commitment_info_roundtrip():
     assert c.private_committed == [4, 5]
     assert c.commitment_index == 6
     assert c.nb_public_committed == 1
+
+
+# -- real gnark fixtures -----------------------------------------------------
+# The only gnark-serialized constraint systems in the reference tree:
+# internal/regression_tests/issue1045/testdata/issue1045.{r1cs,scs} — a
+# BN254 circuit with 2 public inputs, 2 identity hints, 2 AssertIsEqual
+# (issue_1045_test.go:45-61). These pin the intcomp payload byte format.
+
+FIXTURE_DIR = "/root/reference/internal/regression_tests/issue1045/testdata"
+
+_HINT_NAMES = (
+    "github.com/consensys/gnark/internal/regression_tests/issue1045."
+    "ExplicitHint",
+    "github.com/consensys/gnark/internal/regression_tests/issue1045."
+    "glob..func1",
+)
+
+
+def _register_fixture_hints():
+    from gnark_icicle_tpu.constraint.hints import register_hint
+
+    def identity(q, inputs):
+        return [inputs[0] % q]
+
+    for name in _HINT_NAMES:
+        try:
+            register_hint(identity, name=name)
+        except ValueError:
+            pass  # already registered by an earlier test
+
+
+def _fixture_sections(tag):
+    import struct
+
+    with open(os.path.join(FIXTURE_DIR, f"issue1045.{tag}"), "rb") as f:
+        data = f.read()
+    total = struct.unpack_from("<Q", data, 0)[0]
+    body = data[32 : 32 + total]
+    l_len, i_len, c_len, _ = struct.unpack_from("<4Q", body, 0)
+    return (data, body[32 : 32 + l_len],
+            body[32 + l_len : 32 + l_len + i_len])
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE_DIR), reason="no fixtures")
+@pytest.mark.parametrize("tag", ["r1cs", "scs"])
+def test_fixture_intcomp_streams_byte_exact(tag):
+    """Every intcomp stream in the real gnark files re-encodes to the
+    identical bytes (decode → write_* == original slice)."""
+    import struct
+
+    _, sec_levels, sec_instr = _fixture_sections(tag)
+    (n_levels,) = struct.unpack_from("<Q", sec_levels, 0)
+    off = 8
+    for _ in range(n_levels):
+        vals, end = intcomp.read_u32_stream(sec_levels, off)
+        out = bytearray()
+        intcomp.write_u32_stream(out, vals)
+        assert bytes(out) == sec_levels[off:end]
+        off = end
+    assert off == len(sec_levels)
+    off = 0
+    for _ in range(3):  # blueprintID, constraintOffset, wireOffset
+        vals, end = intcomp.read_u32_stream(sec_instr, off)
+        out = bytearray()
+        intcomp.write_u32_stream(out, vals)
+        assert bytes(out) == sec_instr[off:end]
+        off = end
+    vals, end = intcomp.read_u64_stream(sec_instr, off)  # startCallData
+    out = bytearray()
+    intcomp.write_u64_stream(out, vals)
+    assert bytes(out) == sec_instr[off:end]
+    assert end == len(sec_instr)
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE_DIR), reason="no fixtures")
+def test_fixture_r1cs_decodes_and_solves():
+    """Load the real gnark .r1cs, solve a witness through our solver."""
+    _register_fixture_hints()
+    with open(os.path.join(FIXTURE_DIR, "issue1045.r1cs"), "rb") as f:
+        cs = gnark_cs.read_r1cs(f.read())
+    assert cs.nb_constraints == 2
+    assert cs.nb_public == 3  # ["1", In1, In2]
+    from gnark_icicle_tpu.constraint.solver import solve
+
+    res = solve(cs, [5, 7], [], native=False)
+    assert res.wires[1] == 5 and res.wires[2] == 7
+    # the two hint outputs echo the publics
+    assert res.wires[3] == 5 and res.wires[4] == 7
+    # a tampered hint (wrong echo) must fail the AssertIsEqual constraints
+    with pytest.raises(Exception):
+        solve(cs, [5, 7], [], native=False, hint_overrides={
+            h.hint_id: (lambda q, inputs: [99]) for h in cs.hints
+        })
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE_DIR), reason="no fixtures")
+def test_fixture_scs_decodes_and_solves():
+    """Load the real gnark .scs (PLONK arithmetization) and solve."""
+    _register_fixture_hints()
+    with open(os.path.join(FIXTURE_DIR, "issue1045.scs"), "rb") as f:
+        scs = gnark_cs.read_scs(f.read())
+    assert scs.nb_public == 2
+    from gnark_icicle_tpu.constraint.scs import solve_scs
+
+    w = solve_scs(scs, [5, 7], [])
+    assert w is not None
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(FIXTURE_DIR), reason="no fixtures")
+def test_fixture_e2e_prove_verify():
+    """Full pipeline on real gnark bytes: Groth16 on the .r1cs, PLONK on
+    the .scs (≙ issue1045's TestCircuitProveDeserializedGroth16/Plonk)."""
+    _register_fixture_hints()
+    from gnark_icicle_tpu.backend import groth16, plonk
+    from gnark_icicle_tpu.backend.kzg import unsafe_srs
+    from gnark_icicle_tpu.curves import bn254
+
+    with open(os.path.join(FIXTURE_DIR, "issue1045.r1cs"), "rb") as f:
+        cs = gnark_cs.read_r1cs(f.read())
+    pk, vk = groth16.setup(cs, bn254.BN254, rng=random.Random(1))
+    proof = groth16.prove(cs, pk, [5, 7], [], bn254.BN254,
+                          rng=random.Random(2))
+    groth16.verify(proof, vk, [5, 7], bn254.BN254)
+    with pytest.raises(Exception):
+        groth16.verify(proof, vk, [5, 8], bn254.BN254)
+
+    with open(os.path.join(FIXTURE_DIR, "issue1045.scs"), "rb") as f:
+        scs = gnark_cs.read_scs(f.read())
+    srs = unsafe_srs(bn254.BN254, 64, rng=random.Random(3))
+    pkp, vkp = plonk.setup(scs, bn254.BN254, srs)
+    pf = plonk.prove(scs, pkp, [5, 7], [], bn254.BN254,
+                     rng=random.Random(4))
+    plonk.verify(pf, vkp, [5, 7], bn254.BN254)
+    with pytest.raises(Exception):
+        plonk.verify(pf, vkp, [5, 8], bn254.BN254)

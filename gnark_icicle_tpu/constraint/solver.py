@@ -88,6 +88,10 @@ def solve(cs: R1CS, public_values: list, secret_values: list,
     hint_overrides: {hint_id: fn} replacing registered hints for this solve
     (≙ solver.OverrideHint — the BSB22 prover path, prove.go:82-84).
     """
+    # the C++ core covers 4×64 and 6×64 limb fields; anything over 384
+    # bits falls back to the Python solver
+    if cs.q >= (1 << 384):
+        native = False
     if native is True or (native == "auto" and cs.nb_constraints >= 512):
         from ..native import solve_native
 

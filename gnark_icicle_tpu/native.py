@@ -77,27 +77,36 @@ def get_lib():
         return lib
 
 
-def ints_to_u64x4(xs) -> np.ndarray:
-    out = np.zeros((len(xs), 4), dtype=np.uint64)
+def ints_to_u64xn(xs, nl: int = 4) -> np.ndarray:
+    out = np.zeros((len(xs), nl), dtype=np.uint64)
+    M = 0xFFFFFFFFFFFFFFFF
     for i, x in enumerate(xs):
         x = int(x)
-        out[i, 0] = x & 0xFFFFFFFFFFFFFFFF
-        out[i, 1] = (x >> 64) & 0xFFFFFFFFFFFFFFFF
-        out[i, 2] = (x >> 128) & 0xFFFFFFFFFFFFFFFF
-        out[i, 3] = (x >> 192) & 0xFFFFFFFFFFFFFFFF
+        for j in range(nl):
+            out[i, j] = (x >> (64 * j)) & M
     return out
 
 
-def u64x4_to_ints(arr) -> list:
+def u64xn_to_ints(arr) -> list:
     arr = np.ascontiguousarray(arr, dtype=np.uint64)
+    nl = arr.shape[1]
     return [
-        int(r[0]) | (int(r[1]) << 64) | (int(r[2]) << 128) | (int(r[3]) << 192)
-        for r in arr
+        sum(int(r[j]) << (64 * j) for j in range(nl)) for r in arr
     ]
 
 
+# 4-limb aliases (the common fr case)
+def ints_to_u64x4(xs):
+    return ints_to_u64xn(xs, 4)
+
+
+def u64x4_to_ints(arr):
+    return u64xn_to_ints(arr)
+
+
 class NativeField:
-    """Host 4x64 Montgomery context for one fr modulus."""
+    """Host Nx64 Montgomery context for one fr modulus (N = 4 below
+    2^256, N = 6 below 2^384 — BW6-761's 377-bit fr)."""
 
     _cache: dict = {}
 
@@ -112,13 +121,14 @@ class NativeField:
         if getattr(self, "_initialized", False):
             return
         self._initialized = True
-        assert q < (1 << 256) and q % 2 == 1
+        assert q < (1 << 384) and q % 2 == 1
+        self.nl = 4 if q < (1 << 256) else 6
         self.q = q
-        self.R = 1 << 256
+        self.R = 1 << (64 * self.nl)
         self.Rinv = pow(self.R, -1, q)
         self.inv64 = (-pow(q, -1, 1 << 64)) % (1 << 64)
-        self.p_arr = ints_to_u64x4([q])[0].copy()
-        self.one_mont = ints_to_u64x4([self.R % q])[0].copy()
+        self.p_arr = ints_to_u64xn([q], self.nl)[0].copy()
+        self.one_mont = ints_to_u64xn([self.R % q], self.nl)[0].copy()
 
     def to_mont_ints(self, xs):
         return [int(x) % self.q * self.R % self.q for x in xs]
@@ -133,17 +143,19 @@ def solve_scs_native(cs, public_values, secret_values, hint_overrides=None):
     Returns None when the native library is unavailable.
     """
     lib = get_lib()
-    if lib is None or cs.q >= (1 << 256):
+    if lib is None or cs.q >= (1 << 384):
         return None
-    if not hasattr(lib, "scs_solve_run"):
+    entry_name = "scs_solve_run" if cs.q < (1 << 256) else "scs_solve_run6"
+    if not hasattr(lib, entry_name):
         return None
-    if getattr(lib.scs_solve_run, "argtypes", None) is None:
+    entry = getattr(lib, entry_name)
+    if getattr(entry, "argtypes", None) is None:
         u64p = ctypes.POINTER(ctypes.c_uint64)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i64p = ctypes.POINTER(ctypes.c_longlong)
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.scs_solve_run.restype = ctypes.c_longlong
-        lib.scs_solve_run.argtypes = [
+        entry.restype = ctypes.c_longlong
+        entry.argtypes = [
             u64p, ctypes.c_uint64,
             u32p, u32p, u32p,
             u64p, u64p, u64p, u64p, u64p,
@@ -155,16 +167,17 @@ def solve_scs_native(cs, public_values, secret_values, hint_overrides=None):
 
     q = cs.q
     nf = NativeField(q)
+    nl = nf.nl
     if (len(public_values) != cs.nb_public
             or len(secret_values) != cs.nb_secret):
         raise ValueError("bad input lengths")
     nw = max(cs.nb_wires, 1)
     ng = cs.nb_gates
-    wires = np.zeros((nw, 4), dtype=np.uint64)
+    wires = np.zeros((nw, nl), dtype=np.uint64)
     assigned = np.zeros(nw, dtype=np.uint8)
     init_vals = [int(v) for v in public_values] + [int(v) for v in secret_values]
     if init_vals:
-        wires[: len(init_vals)] = ints_to_u64x4(nf.to_mont_ints(init_vals))
+        wires[: len(init_vals)] = ints_to_u64xn(nf.to_mont_ints(init_vals), nl)
         assigned[: len(init_vals)] = 1
 
     xa = np.asarray(cs.xa, dtype=np.uint32)
@@ -176,16 +189,16 @@ def solve_scs_native(cs, public_values, secret_values, hint_overrides=None):
     cols = {}
     for name, col in (("ql", cs.ql), ("qr", cs.qr), ("qm", cs.qm),
                       ("qo", cs.qo), ("qc", qc_eff)):
-        cols[name] = ints_to_u64x4(nf.to_mont_ints(col))
+        cols[name] = ints_to_u64xn(nf.to_mont_ints(col), nl)
     solved = np.asarray(cs.solved_wire, dtype=np.int64)
-    abc = np.zeros((3, max(ng, 1), 4), dtype=np.uint64)
+    abc = np.zeros((3, max(ng, 1), nl), dtype=np.uint64)
 
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
     def run(order):
         order = np.asarray(order, dtype=np.int64)
-        rc = lib.scs_solve_run(
+        rc = entry(
             ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
             ptr(xa, ctypes.c_uint32), ptr(xb, ctypes.c_uint32),
             ptr(xc, ctypes.c_uint32),
@@ -202,9 +215,7 @@ def solve_scs_native(cs, public_values, secret_values, hint_overrides=None):
             raise SparseUnsatisfiedError(f"gate {int(rc)} unsatisfied (native)")
 
     def wire_val(w: int) -> int:
-        row = wires[w]
-        x = (int(row[0]) | (int(row[1]) << 64) | (int(row[2]) << 128)
-             | (int(row[3]) << 192))
+        x = sum(int(v) << (64 * j) for j, v in enumerate(wires[w]))
         return nf.from_mont_int(x)
 
     pending: list = []
@@ -239,7 +250,7 @@ def solve_scs_native(cs, public_values, secret_values, hint_overrides=None):
             raise SparseUnsatisfiedError(
                 f"hint {hint_name(h.hint_id)} arity mismatch"
             )
-        mont = ints_to_u64x4(nf.to_mont_ints(outs))
+        mont = ints_to_u64xn(nf.to_mont_ints(outs), nl)
         for wid, row in zip(h.outputs, mont):
             wires[wid] = row
             assigned[wid] = 1
@@ -251,22 +262,28 @@ def solve_scs_native(cs, public_values, secret_values, hint_overrides=None):
         abc[0, j] = wires[cs.xa[j]]
         abc[1, j] = wires[cs.xb[j]]
         abc[2, j] = wires[cs.xc[j]]
-    lib.from_mont_batch(
+    demont = lib.from_mont_batch if nl == 4 else lib.from_mont_batch6
+    demont.restype = None
+    demont.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
+    ]
+    demont(
         ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
         ptr(wires, ctypes.c_uint64), nw,
     )
-    abc_flat = np.ascontiguousarray(abc[:, :ng].reshape(-1, 4))
+    abc_flat = np.ascontiguousarray(abc[:, :ng].reshape(-1, nl))
     if ng:
-        lib.from_mont_batch(
+        demont(
             ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
             ptr(abc_flat, ctypes.c_uint64), 3 * ng,
         )
-    abc_plain = abc_flat.reshape(3, max(ng, 1), 4)[:, :ng]
+    abc_plain = abc_flat.reshape(3, max(ng, 1), nl)[:, :ng]
     return (
-        u64x4_to_ints(wires),
-        u64x4_to_ints(abc_plain[0]),
-        u64x4_to_ints(abc_plain[1]),
-        u64x4_to_ints(abc_plain[2]),
+        u64xn_to_ints(wires),
+        u64xn_to_ints(abc_plain[0]),
+        u64xn_to_ints(abc_plain[1]),
+        u64xn_to_ints(abc_plain[2]),
     )
 
 
@@ -276,7 +293,7 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
     Returns None when the native library is unavailable (caller falls back).
     """
     lib = get_lib()
-    if lib is None or cs.q >= (1 << 256):
+    if lib is None or cs.q >= (1 << 384):
         return None
     from .constraint.system import INSTR_R1C, INSTR_HINT
     from .constraint.solver import SolveResult, UnsatisfiedConstraintError
@@ -284,34 +301,45 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
 
     q = cs.q
     nf = NativeField(q)
+    nl = nf.nl
+    suffix = "" if nl == 4 else "6"
+    if not hasattr(lib, "r1cs_solve_run" + suffix):
+        return None
     if len(public_values) != cs.nb_public - 1 or len(secret_values) != cs.nb_secret:
         raise ValueError("bad input lengths")
 
     nw = cs.nb_wires
     n_cons = cs.nb_constraints
-    wires = np.zeros((nw, 4), dtype=np.uint64)
+    wires = np.zeros((nw, nl), dtype=np.uint64)
     assigned = np.zeros(nw, dtype=np.uint8)
     init_vals = [1] + [int(v) for v in public_values] + [int(v) for v in secret_values]
-    wires[: len(init_vals)] = ints_to_u64x4(nf.to_mont_ints(init_vals))
+    wires[: len(init_vals)] = ints_to_u64xn(nf.to_mont_ints(init_vals), nl)
     assigned[: len(init_vals)] = 1
 
-    coeffs_m = ints_to_u64x4(nf.to_mont_ints(cs.coeffs))
+    coeffs_m = ints_to_u64xn(nf.to_mont_ints(cs.coeffs), nl)
     term_coeff = np.asarray(cs.term_coeff, dtype=np.uint32)
     term_wire = np.asarray(cs.term_wire, dtype=np.uint32)
     l_off = np.asarray(cs.l_off + [len(cs.term_coeff)], dtype=np.int64)
     r_off = np.asarray(cs.r_off, dtype=np.int64)
     o_off = np.asarray(cs.o_off, dtype=np.int64)
     solved = np.asarray(cs.solved_wire, dtype=np.int64)
-    abc = np.zeros((3, max(n_cons, 1), 4), dtype=np.uint64)
+    abc = np.zeros((3, max(n_cons, 1), nl), dtype=np.uint64)
 
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
+    run_entry = getattr(lib, "r1cs_solve_run" + suffix)
+    level_entry = getattr(lib, "r1cs_solve_level" + suffix, None)
+    for e in (run_entry, level_entry):
+        if e is not None and getattr(e, "argtypes", None) is None:
+            e.restype = ctypes.c_longlong
+            e.argtypes = lib.r1cs_solve_run.argtypes
+
     def run(order, level_parallel=False):
         order = np.asarray(order, dtype=np.int64)
-        entry = (lib.r1cs_solve_level
-                 if level_parallel and hasattr(lib, "r1cs_solve_level")
-                 else lib.r1cs_solve_run)
+        entry = (level_entry
+                 if level_parallel and level_entry is not None
+                 else run_entry)
         rc = entry(
             ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
             ptr(coeffs_m, ctypes.c_uint64),
@@ -329,8 +357,7 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
             )
 
     def wire_val(w: int) -> int:
-        row = wires[w]
-        x = int(row[0]) | (int(row[1]) << 64) | (int(row[2]) << 128) | (int(row[3]) << 192)
+        x = sum(int(v) << (64 * j) for j, v in enumerate(wires[w]))
         return nf.from_mont_int(x)
 
     def run_hint(idx):
@@ -357,7 +384,7 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
             raise UnsatisfiedConstraintError(
                 -1, f"hint {hint_name(h.hint_id)} arity mismatch"
             )
-        mont = ints_to_u64x4(nf.to_mont_ints(outs))
+        mont = ints_to_u64xn(nf.to_mont_ints(outs), nl)
         for wid, row in zip(h.outputs, mont):
             wires[wid] = row
             assigned[wid] = 1
@@ -395,16 +422,22 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
     # batch Montgomery -> plain in C++ (the Python bigint path here would
     # dominate the whole solve)
     wires[assigned == 0] = 0
-    lib.from_mont_batch(
+    demont = lib.from_mont_batch if nl == 4 else lib.from_mont_batch6
+    demont.restype = None
+    demont.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
+    ]
+    demont(
         ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
         ptr(wires, ctypes.c_uint64), nw,
     )
-    abc_flat = np.ascontiguousarray(abc[:, :n_cons].reshape(-1, 4))
-    lib.from_mont_batch(
+    abc_flat = np.ascontiguousarray(abc[:, :n_cons].reshape(-1, nl))
+    demont(
         ptr(nf.p_arr, ctypes.c_uint64), ctypes.c_uint64(nf.inv64),
         ptr(abc_flat, ctypes.c_uint64), 3 * n_cons,
     )
-    abc_plain = abc_flat.reshape(3, n_cons, 4)
+    abc_plain = abc_flat.reshape(3, n_cons, nl)
     res = SolveResult(u64={
         "wires": wires,
         "a": abc_plain[0], "b": abc_plain[1], "c": abc_plain[2],

@@ -301,3 +301,122 @@ def test_commitment_on_bls12_381():
     assert len(proof.commitments) == 1
     groth16.verify(proof, vk, [35], B)
     assert not groth16.is_valid(proof, vk, [36], B)
+
+
+# -- edge-scenario matrix (≙ test/commitments_test.go commitmentTestCircuits)
+
+class CommittedConstant(Circuit):
+    """≙ committedConstantCircuit: Commit(1, x) — constants fold out of
+    the committed set but the commitment must still bind x."""
+
+    x = Secret()
+
+    def define(self, api):
+        c = api.commit(1, self.x)
+        api.assert_is_different(c, self.x)
+
+
+class CommittedPublic(Circuit):
+    """≙ committedPublicCircuit: committing to a PUBLIC input routes it
+    through public_and_commitment_committed, not the private basis."""
+
+    x = Public()
+
+    def define(self, api):
+        c = api.commit(self.x)
+        api.assert_is_different(c, self.x)
+
+
+class IndependentCommits(Circuit):
+    """≙ independentCommitsCircuit: two unrelated commitments."""
+
+    a = Secret()
+    b = Secret()
+
+    def define(self, api):
+        ca = api.commit(self.a)
+        cb = api.commit(self.b)
+        api.assert_is_different(ca, self.a)
+        api.assert_is_different(cb, self.b)
+
+
+class DoubleCommit(Circuit):
+    """≙ doubleCommitCircuit: the same variable in two commitments must
+    yield distinct commitment values."""
+
+    x = Secret()
+    y = Secret()
+
+    def define(self, api):
+        c0 = api.commit(self.x)
+        c1 = api.commit(self.x, self.y)
+        api.assert_is_different(c0, c1)
+
+
+class FiveCommitsFivePublic(Circuit):
+    """≙ commitmentCircuit{X: 5 vars, Public: 5}: weighted sum over the
+    committed set plus publics, compared against the commitment."""
+
+    x = Secret(shape=5)
+    p = Public(shape=5)
+
+    def define(self, api):
+        c = api.commit(*self.x)
+        s = 0
+        for i, xi in enumerate(self.x):
+            s = api.add(s, api.mul(xi, i + 1))
+        for pi in self.p:
+            s = api.add(s, pi)
+        api.assert_is_different(c, s)
+
+
+@pytest.mark.parametrize("circ,pub,sec", [
+    (CommittedConstant, [], [3]),
+    (CommittedPublic, [5], []),
+    (IndependentCommits, [], [1, 1]),
+    (DoubleCommit, [], [1, 2]),
+    (FiveCommitsFivePublic, [[1, 2, 3, 4, 5]], [[9, 8, 7, 6, 5]]),
+])
+def test_commitment_edge_solves(circ, pub, sec):
+    """Placeholder-hint solve path for every edge scenario, both
+    arithmetizations."""
+    from gnark_icicle_tpu.constraint.scs import solve_scs
+
+    flat = lambda vals: ([x for v in vals for x in (v if isinstance(v, list) else [v])])
+    cs = compile_circuit(Q, circ)
+    assert is_satisfied(cs, flat(pub), flat(sec))
+    scs = compile_circuit(Q, circ, builder="scs")
+    solve_scs(scs, flat(pub), flat(sec))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("circ,pub,sec", [
+    (CommittedPublic, [5], []),
+    (DoubleCommit, [], [1, 2]),
+])
+def test_commitment_edge_groth16_e2e(circ, pub, sec):
+    """Real Pedersen commitments + PoK through setup/prove/verify for the
+    trickiest scenarios: committed public input; two commitments sharing
+    a variable (≙ TestCommitment's groth16 sweep)."""
+    cs = compile_circuit(Q, circ)
+    pk, vk = groth16.setup(cs, CURVE, rng=random.Random(21))
+    proof = groth16.prove(cs, pk, pub, sec, CURVE, rng=random.Random(22))
+    assert len(proof.commitments) == len(cs.commitments)
+    groth16.verify(proof, vk, pub, CURVE)
+
+
+@pytest.mark.slow
+def test_commitment_edge_plonk_two_qcp():
+    """PLONK with two BSB22 commitments → two qcp columns
+    (≙ TestCommitment's plonk sweep over doubleCommitCircuit)."""
+    from gnark_icicle_tpu.backend import plonk
+    from gnark_icicle_tpu.backend.kzg import unsafe_srs
+
+    scs = compile_circuit(Q, DoubleCommit, builder="scs")
+    assert len(scs.commitments) == 2
+    srs = unsafe_srs(CURVE, 1 << (max(scs.nb_gates, 8)).bit_length(),
+                     rng=random.Random(23))
+    pk, vk = plonk.setup(scs, CURVE, srs)
+    pf = plonk.prove(scs, pk, [], [1, 2], CURVE, rng=random.Random(24))
+    assert len(pf.bsb22_commitments) == 2
+    plonk.verify(pf, vk, [], CURVE)

@@ -115,3 +115,44 @@ def test_level_solve_bit_identical():
             assert r1.wires == r0.wires == rp.wires
             assert (r1.a, r1.b, r1.c) == (r0.a, r0.b, r0.c) \
                 == (rp.a, rp.b, rp.c)
+
+
+def test_native_6limb_bw6_761():
+    """The 6x64-limb instantiation (BW6-761's 377-bit fr — the native
+    2-chain outer curve) is bit-identical to the Python solver on both
+    arithmetizations, including hints (div) and unsatisfied detection."""
+    from gnark_icicle_tpu.curves import bw6_761 as bw6
+    from gnark_icicle_tpu.frontend import Circuit, Public, Secret
+    from gnark_icicle_tpu.constraint.scs import solve_scs
+
+    Q6 = bw6.BW6_761.fr.modulus
+    assert Q6.bit_length() == 377
+
+    class C(Circuit):
+        x = Secret()
+        y = Public()
+
+        def define(self, api):
+            v = self.x
+            for i in range(40):
+                v = api.add(api.mul(v, v), v, i)
+            inv = api.div(1, self.x)
+            api.assert_is_equal(api.mul(inv, self.x), 1)
+            api.assert_is_equal(v, self.y)
+
+    cs = compile_circuit(Q6, C)
+    x0 = (1 << 370) + 12345  # exercises limbs 5..6
+    v = x0
+    for i in range(40):
+        v = (v * v + v + i) % Q6
+    rn = solve(cs, [v], [x0], native=True)
+    rp = solve(cs, [v], [x0], native=False)
+    assert rn.wires == rp.wires
+    assert (rn.a, rn.b, rn.c) == (rp.a, rp.b, rp.c)
+    with pytest.raises(UnsatisfiedConstraintError):
+        solve(cs, [(v + 1) % Q6], [x0], native=True)
+
+    scs = compile_circuit(Q6, C, builder="scs")
+    wn = solve_scs(scs, [v], [x0], native=True)
+    wp = solve_scs(scs, [v], [x0], native=False)
+    assert wn == wp

@@ -102,3 +102,88 @@ def test_negative_witness_values_wrap():
     pub, sec = N(a=-5, out=5).witness_values(Q)
     assert sec == [Q - 5]
     assert is_solved(N(a=-5, out=5), Q)
+
+
+def test_issue1227_constant_leq_variable():
+    """≙ internal/regression_tests/issue1227: AssertIsLessOrEqual with a
+    CONSTANT left operand must constrain (const <= var), including the
+    const=0 edge."""
+
+    class C1(Circuit):
+        x = Secret()
+
+        def define(self, api):
+            api.assert_is_less_or_equal(1, self.x)
+
+    assert is_solved(C1(x=1), Q)
+    assert not is_solved(C1(x=0), Q)
+
+    class C0(Circuit):
+        x = Secret()
+
+        def define(self, api):
+            api.assert_is_less_or_equal(0, self.x)
+
+    assert is_solved(C0(x=1), Q)
+    assert is_solved(C0(x=0), Q)
+
+
+def test_issue1246_select_non_boolean_condition():
+    """≙ internal/regression_tests/issue1246: Select must constrain the
+    condition to be boolean — condition=2 with d = cond(y1−y2)+y2 = 0
+    would otherwise 'prove' d ∉ {y1, y2}."""
+
+    class S(Circuit):
+        cond = Secret()
+        y1 = Secret()
+        y2 = Secret()
+
+        def define(self, api):
+            d = api.select(self.cond, self.y1, self.y2)
+            api.assert_is_equal(d, 0)
+
+    # 2·(2−4)+4 = 0 — satisfies the select equation but cond is not a bit
+    assert not is_solved(S(cond=2, y1=2, y2=4), Q)
+    assert is_solved(S(cond=1, y1=0, y2=4), Q)
+
+
+def test_issue897_rangecheck_rejects_power_of_two():
+    """≙ internal/regression_tests/issue_897_test.go: rangecheck.Check(x, 7)
+    must reject x = 2^7."""
+    from gnark_icicle_tpu.std.rangecheck import RangeChecker
+
+    class R(Circuit):
+        x = Secret()
+
+        def define(self, api):
+            RangeChecker(api).check(self.x, 7)
+
+    assert is_solved(R(x=(1 << 7) - 1), Q)
+    assert not is_solved(R(x=1 << 7), Q)
+
+
+def test_issue836_cmp_resists_malicious_bits_hint():
+    """≙ internal/regression_tests/issue_836_test.go: overriding the bit
+    decomposition hint with a malicious one must make solving FAIL, not
+    flip the comparison result."""
+    from gnark_icicle_tpu.constraint import hints as hintlib
+
+    class C(Circuit):
+        left = Secret()
+        right = Secret()
+        exp = Public()
+
+        def define(self, api):
+            api.assert_is_equal(api.cmp(self.left, self.right), self.exp)
+
+    cs = compile_circuit(Q, C)
+    # honest solve: 10 > 5 -> 1
+    solve(cs, [1], [10, 5])
+    # malicious decomposition: claim every queried value is zero bits
+    with pytest.raises(Exception):
+        solve(cs, [1], [10, 5], hint_overrides={
+            hintlib.TO_BITS: lambda q, ins: [0] * ins[1],
+        })
+    # and an honest-but-wrong expectation must also fail
+    with pytest.raises(Exception):
+        solve(cs, [0], [10, 5])

@@ -410,13 +410,10 @@ def test_commitment_edge_plonk_two_qcp():
     """PLONK with two BSB22 commitments → two qcp columns
     (≙ TestCommitment's plonk sweep over doubleCommitCircuit)."""
     from gnark_icicle_tpu.backend import plonk
-    from gnark_icicle_tpu.backend.kzg import unsafe_srs
 
     scs = compile_circuit(Q, DoubleCommit, builder="scs")
     assert len(scs.commitments) == 2
-    srs = unsafe_srs(CURVE, 1 << (max(scs.nb_gates, 8)).bit_length(),
-                     rng=random.Random(23))
-    pk, vk = plonk.setup(scs, CURVE, srs)
+    pk, vk = plonk.setup(scs, CURVE, rng=random.Random(23))
     pf = plonk.prove(scs, pk, [], [1, 2], CURVE, rng=random.Random(24))
     assert len(pf.bsb22_commitments) == 2
     plonk.verify(pf, vk, [], CURVE)

@@ -1,28 +1,39 @@
-"""In-circuit KZG opening verification (BN254).
+"""In-circuit KZG opening verification (BN254, BLS12-381).
 
 Role parity: reference std/commitments/kzg (verifier.go — AssertProof:
 e(C − v·G + z·W, G₂) · e(−W, τ·G₂) == 1, the primitive the PLONK recursion
-verifier folds openings into). Built on std/sw_emulated (point arithmetic)
-and std/pairing_bn254 (the pairing check); the τ·G₂ / G₂ points are
-verifier-side constants from the SRS.
+verifier folds openings into), for the emulated curve family the reference
+instantiates (kzg.NewVerifier[FR, G1El, G2El, GTEl] over sw_bn254 /
+sw_bls12381). Built on std/sw_emulated (point arithmetic) and the
+std/pairing_* gadgets; the τ·G₂ / G₂ points are verifier-side constants
+from the SRS.
 """
 
 from __future__ import annotations
 
-from ..curves import bn254
-from .sw_emulated import BN254G1, EmulatedCurve
+from .sw_emulated import BLS12381G1, BN254G1, EmulatedCurve
 from .pairing_bn254 import BN254Pairing
 from .emulated import Element
 
 
 class KzgVerifier:
-    """≙ kzg.Verifier[FR, G1El, G2El, GTEl] for BN254."""
+    """≙ kzg.Verifier[FR, G1El, G2El, GTEl]; curve_id ∈ {"bn254",
+    "bls12-381"} selects the emulated instantiation."""
 
-    def __init__(self, api, native_modulus: int, g2_gen, g2_tau):
+    def __init__(self, api, native_modulus: int, g2_gen, g2_tau,
+                 curve_id: str = "bn254"):
         """g2_gen / g2_tau: host (Fp2, Fp2) affine points from the SRS."""
         self.api = api
-        self.curve = EmulatedCurve(api, BN254G1, native_modulus)
-        self.pairing = BN254Pairing(api, native_modulus)
+        if curve_id == "bn254":
+            self.curve = EmulatedCurve(api, BN254G1, native_modulus)
+            self.pairing = BN254Pairing(api, native_modulus)
+        elif curve_id == "bls12-381":
+            from .pairing_bls12_381 import BLS12381Pairing
+
+            self.curve = EmulatedCurve(api, BLS12381G1, native_modulus)
+            self.pairing = BLS12381Pairing(api, native_modulus)
+        else:
+            raise ValueError(f"unsupported KZG curve {curve_id!r}")
         e2 = self.pairing.e2
         self.g2_gen = (e2.constant(g2_gen[0].c0, g2_gen[0].c1),
                        e2.constant(g2_gen[1].c0, g2_gen[1].c1))

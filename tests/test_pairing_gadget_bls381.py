@@ -69,3 +69,58 @@ def test_bls381_pairing_check_bilinearity():
             (_gin1(pr2, pt), _gin2(pr2, qt)),
             (_gin1(pr2, g1.neg(other)), _gin2(pr2, qt)),
         ])
+
+
+@pytest.mark.slow
+def test_bls381_kzg_gadget_opening():
+    """KZG opening verified in-circuit over emulated BLS12-381
+    (≙ std/commitments/kzg instantiated with sw_bls12381). SRS built
+    host-side — no device needed at this size."""
+    from gnark_icicle_tpu.std.kzg_gadget import KzgVerifier
+    from gnark_icicle_tpu.std.sw_emulated import AffinePoint
+
+    rng = random.Random(13)
+    r = b381.R
+    tau = rng.randrange(2, r)
+    g1 = b381.G1
+    # host SRS + commit/open for a degree-7 polynomial
+    coeffs = [rng.randrange(r) for _ in range(8)]
+
+    def commit(cs):
+        acc = None
+        for i, c in enumerate(cs):
+            if c == 0:
+                continue
+            term = g1.scalar_mul(g1.generator, c * pow(tau, i, r) % r)
+            acc = term if acc is None else g1.add(acc, term)
+        return acc
+
+    com = commit(coeffs)
+    z = rng.randrange(r)
+    v = 0
+    for c in reversed(coeffs):
+        v = (v * z + c) % r
+    # witness polynomial w(X) = (p(X) − v)/(X − z), synthetic division
+    w = [0] * (len(coeffs) - 1)
+    carry = 0
+    for i in range(len(coeffs) - 1, 0, -1):
+        carry = (coeffs[i] + carry * z) % r
+        w[i - 1] = carry
+    wcom = commit(w)
+    g2 = b381.G2
+    g2_gen = g2.generator
+    g2_tau = g2.scalar_mul(g2.generator, tau)
+
+    kv = KzgVerifier(Engine(Q), Q, g2_gen, g2_tau, curve_id="bls12-381")
+
+    def gpt(pt):
+        return AffinePoint(kv.curve.fp.constant(pt[0]),
+                           kv.curve.fp.constant(pt[1]))
+
+    fr = kv.curve.fr
+    kv.assert_opening(gpt(com), fr.constant(z), fr.constant(v), gpt(wcom))
+
+    kv2 = KzgVerifier(Engine(Q), Q, g2_gen, g2_tau, curve_id="bls12-381")
+    with pytest.raises(EngineUnsatisfiedError):
+        kv2.assert_opening(gpt(com), fr.constant(z),
+                           fr.constant((v + 1) % r), gpt(wcom))

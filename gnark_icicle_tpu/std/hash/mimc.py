@@ -191,3 +191,51 @@ class MiMC:
             self.h = api.add(self.h, r, stream)
         self.data = []
         return self.h
+
+
+class EmulatedMiMC:
+    """In-circuit MiMC over an EMULATED field (≙ the reference's use of
+    mimc with a nonnative frontend in recursion transcripts).
+
+    Same Miyaguchi–Preneel chain as MiMC, but every round runs through an
+    ``std.emulated.EmulatedField`` — the primitive that lets an outer
+    circuit over a different curve replay an inner prover's
+    ``fs_hash="mimc"`` Fiat-Shamir challenges (cross-curve recursion,
+    reference std/recursion/plonk with sw_bls12381)."""
+
+    def __init__(self, fp, nb_rounds: int = 110):
+        """fp: EmulatedField for the INNER scalar field."""
+        self.fp = fp
+        self.constants = [
+            fp.constant(c) for c in mimc_constants(fp.p, nb_rounds)
+        ]
+        self.h = fp.constant(0)
+        self.data = []
+
+    def write(self, *values):
+        self.data.extend(values)
+
+    def reset(self):
+        self.data = []
+        self.h = self.fp.constant(0)
+
+    def _pow5(self, x):
+        fp = self.fp
+        r = fp.mul(x, x)
+        r = fp.mul(r, r)
+        return fp.mul(r, x)
+
+    def _encrypt(self, m):
+        fp = self.fp
+        x = m
+        for c in self.constants:
+            x = self._pow5(fp.add(fp.add(x, self.h), c))
+        return fp.add(x, self.h)
+
+    def sum(self):
+        fp = self.fp
+        for stream in self.data:
+            r = self._encrypt(stream)
+            self.h = fp.add(fp.add(self.h, r), stream)
+        self.data = []
+        return self.h

@@ -84,3 +84,27 @@ def test_groth16_mimc_preimage():
     pub, sec = MiMCPreimage(pre=pre, h=want).witness_values(Q)
     proof = groth16.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)
     groth16.verify(proof, vk, pub, bn254.BN254)
+
+
+def test_emulated_mimc_matches_host():
+    """EmulatedMiMC over BLS12-381 Fr inside a BN254 engine equals the
+    host MiMC bit-for-bit (the cross-curve transcript primitive)."""
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.frontend.engine import Engine
+    from gnark_icicle_tpu.std.emulated import BLS12381_FR, EmulatedField
+    from gnark_icicle_tpu.std.hash.mimc import EmulatedMiMC, MiMCHost
+
+    eng = Engine(bn254.R)
+    fp = EmulatedField(eng, BLS12381_FR, bn254.R)
+    em = EmulatedMiMC(fp)
+    vals = [12345, b381.R - 1, 777]
+    em.write(*(fp.constant(v) for v in vals))
+    got = fp.value_hint(fp.reduce(em.sum()))
+    host = MiMCHost(b381.R)
+    host.write(*vals)
+    assert got == host.sum()
+    # chaining continues across sum() calls like the reference gadget
+    em.write(fp.constant(1))
+    host.write(1)
+    assert fp.value_hint(fp.reduce(em.sum())) == host.sum()

@@ -74,18 +74,26 @@ class GnarkTranscript:
 FS_LIMB_BITS = 64  # must match std/emulated BN254_FP (w=64, k=4)
 
 
-def point_limbs(curve, pt) -> list:
-    """A G1 point as 8 field elements: 4 little-endian 64-bit limbs of each
-    canonical affine coordinate (infinity → all zeros). This is exactly how
-    the recursion verifier absorbs an emulated point witness — its reduced
-    limb variables — so host and gadget transcripts agree."""
+def point_limbs(curve, pt, n_limbs: int | None = None) -> list:
+    """A G1 point as 2·k field elements: k little-endian 64-bit limbs of
+    each canonical affine coordinate (infinity → all zeros), k sized to
+    the curve's base field (4 for BN254, 6 for BLS12-381 — matching the
+    std/emulated presets) so NO coordinate bits escape the Fiat-Shamir
+    binding. This is exactly how the recursion verifier absorbs an
+    emulated point witness — its reduced limb variables — so host and
+    gadget transcripts agree. curve=None (the BN254 recursion callers)
+    defaults to 4 limbs."""
+    k = n_limbs or (
+        (curve.fp.modulus.bit_length() + FS_LIMB_BITS - 1) // FS_LIMB_BITS
+        if curve is not None else 4
+    )
     if pt is None:
-        return [0] * 8
+        return [0] * (2 * k)
     mask = (1 << FS_LIMB_BITS) - 1
     out = []
     for c in (pt[0], pt[1]):
         c = int(c)
-        out.extend((c >> (FS_LIMB_BITS * i)) & mask for i in range(4))
+        out.extend((c >> (FS_LIMB_BITS * i)) & mask for i in range(k))
     return out
 
 

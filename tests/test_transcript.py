@@ -115,3 +115,22 @@ def test_make_transcript_factory():
     assert isinstance(make_transcript(Q, [b"x"], "mimc"), MiMCTranscript)
     with pytest.raises(ValueError):
         make_transcript(Q, [b"x"], "blake3")
+
+
+def test_mimc_point_binding_covers_full_coordinates():
+    """point_limbs must not truncate >256-bit coordinates: BLS12-381's
+    381-bit fp takes 6 limbs; losing the top bits would weaken the
+    Fiat-Shamir binding of proof commitments."""
+    from gnark_icicle_tpu.backend.transcript import point_limbs
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+    from gnark_icicle_tpu.curves import bn254
+
+    pt381 = b381.G1.generator
+    limbs = point_limbs(b381.BLS12_381, pt381)
+    assert len(limbs) == 12  # 6 per coordinate
+    x = sum(v << (64 * i) for i, v in enumerate(limbs[:6]))
+    assert x == pt381[0]  # reconstructs exactly — nothing dropped
+
+    # BN254 (and the curve=None recursion path) stays at 4 limbs
+    assert len(point_limbs(bn254.BN254, bn254.G1.generator)) == 8
+    assert len(point_limbs(None, bn254.G1.generator)) == 8

@@ -1,16 +1,21 @@
-"""In-circuit Groth16 verifier over emulated BN254.
+"""In-circuit Groth16 verifier over emulated curves (BN254, BLS12-381).
 
 Role parity: reference std/recursion/groth16 (verifier.go — Verifier.
 AssertProof: in-circuit subgroup checks, kSum linear combination of the
 vk's K points by the public inputs, and the 3-pairing product against the
-precomputed e(α, β)). The verifying key is circuit-constant (the reference's
-"fixed" vk placement); public inputs of the inner proof are NATIVE outer
-variables — same-curve recursion (BN254-in-BN254) shares Fr, so only the
-points and pairing are emulated.
+precomputed e(α, β)), instantiated for the emulated curve family
+(sw_bn254, sw_bls12381). The verifying key is circuit-constant (the
+reference's "fixed" vk placement).
 
-Engine-level today, like the pairing gadget it builds on (the proof points
-enter as emulated witnesses and every check is constraint-shaped); compiling
-to a constraint system awaits the range-table emulated mul (ROADMAP).
+Public inputs: for same-curve recursion (BN254-in-BN254) the inner and
+outer scalar fields coincide, so publics are NATIVE outer variables and
+are bound with fr.from_native. For cross-curve recursion (a BLS12-381
+proof inside a BN254 circuit) the inner Fr is emulated — pass emulated
+``Element`` scalars (or host ints, bound as constants on the engine path).
+
+Engine-level today, like the pairing gadgets this builds on; compiling to
+a constraint system rides the deferred-mulcheck emulated path (ROADMAP).
+The NATIVE (cheap) 2-chain verifier lives in native_groth16.py.
 """
 
 from __future__ import annotations
@@ -18,7 +23,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ...curves import bn254
-from ..sw_emulated import AffinePoint, BN254G1, EmulatedCurve
+from ..emulated import Element
+from ..sw_emulated import AffinePoint, BLS12381G1, BN254G1, EmulatedCurve
 from ..pairing_bn254 import BN254Pairing
 
 
@@ -32,28 +38,49 @@ class VerifierProof:
 
 
 class Groth16Verifier:
-    """≙ recursion/groth16.Verifier with a circuit-constant vk."""
+    """≙ recursion/groth16.Verifier with a circuit-constant vk.
 
-    def __init__(self, api, native_modulus: int, vk, curve=None):
-        """vk: host backend.groth16 VerifyingKey; curve: host curve object
-        (defaults to BN254) used once to precompute e(α, β)."""
+    curve_id selects the emulated instantiation: "bn254" (default,
+    same-curve recursion) or "bls12-381" (cross-curve)."""
+
+    def __init__(self, api, native_modulus: int, vk, curve=None,
+                 curve_id: str = "bn254"):
+        """vk: host backend.groth16 VerifyingKey over the inner curve;
+        curve: host curve object used once to precompute e(α, β)."""
         if vk.commitment_keys:
             raise NotImplementedError(
                 "recursion over BSB22-commitment proofs: later round"
             )
         self.api = api
         self.vk = vk
-        self.curve = EmulatedCurve(api, BN254G1, native_modulus)
-        self.pairing = BN254Pairing(api, native_modulus)
-        host_curve = curve if curve is not None else bn254.BN254
-        self._e_alpha_beta = vk.e_alpha_beta(host_curve)
+        self.curve_id = curve_id
+        if curve_id == "bn254":
+            self.curve = EmulatedCurve(api, BN254G1, native_modulus)
+            self.pairing = BN254Pairing(api, native_modulus)
+            host = curve if curve is not None else bn254.BN254
+            self._r = bn254.R
+            self._g2_b = bn254.G2_B
+            self._g1_cofactor_one = True
+        elif curve_id == "bls12-381":
+            from ...curves import bls12_381 as b381
+            from ..pairing_bls12_381 import BLS12381Pairing
+
+            self.curve = EmulatedCurve(api, BLS12381G1, native_modulus)
+            self.pairing = BLS12381Pairing(api, native_modulus)
+            host = curve if curve is not None else b381.BLS12_381
+            self._r = b381.R
+            self._g2_b = b381.G2_B
+            # BLS12-381 G1 has cofactor ≈ 2^32: on-curve is NOT membership
+            self._g1_cofactor_one = False
+        else:
+            raise ValueError(f"unsupported recursion curve {curve_id!r}")
+        self._e_alpha_beta = vk.e_alpha_beta(host)
         e2 = self.pairing.e2
         self._gamma = (e2.constant(vk.g2_gamma[0].c0, vk.g2_gamma[0].c1),
                        e2.constant(vk.g2_gamma[1].c0, vk.g2_gamma[1].c1))
         self._delta = (e2.constant(vk.g2_delta[0].c0, vk.g2_delta[0].c1),
                        e2.constant(vk.g2_delta[1].c0, vk.g2_delta[1].c1))
-        # D-twist curve constant b₂ = 3/(9+i) for the G2 on-curve check
-        self._twist_b = e2.constant(bn254.G2_B.c0, bn254.G2_B.c1)
+        self._twist_b = e2.constant(self._g2_b.c0, self._g2_b.c1)
 
     # -- witness constructors ------------------------------------------------
     def proof_witness(self, proof) -> VerifierProof:
@@ -73,6 +100,23 @@ class Groth16Verifier:
                              bs=g2(proof.bs))
 
     # -- checks --------------------------------------------------------------
+    def _assert_g1_member(self, p: AffinePoint):
+        """On-curve, plus the full-order ladder [r−1]·P == −P when the
+        cofactor exceeds 1 (≙ AssertIsOnG1). Incomplete formulas with a
+        fixed scalar: partial sums [m]P, m < r−1, never hit O or a
+        ±-collision with P for an order-r point; a non-member can at worst
+        make the ladder unsatisfiable — the desired outcome."""
+        c = self.curve
+        c.assert_on_curve(p)
+        if self._g1_cofactor_one:
+            return
+        acc = p
+        for bit in bin(self._r - 1)[3:]:
+            acc = c.double(acc)
+            if bit == "1":
+                acc = c.add(acc, p)
+        c.assert_is_equal(acc, c.neg(p))
+
     def _assert_g2_member(self, q_pt):
         """On-curve (y² = x³ + b₂) and subgroup membership of a G2 witness
         (≙ verifier.go's AssertIsOnG2). Subgroup via the full-order ladder
@@ -88,15 +132,22 @@ class Groth16Verifier:
         e2.assert_equal(lhs, rhs)
 
         acc = q_pt
-        for bit in bin(bn254.R - 1)[3:]:
+        for bit in bin(self._r - 1)[3:]:
             acc, _ = self.pairing._twist_double(acc)
             if bit == "1":
                 acc, _ = self.pairing._twist_add(acc, q_pt)
         e2.assert_equal(acc[0], x)
         e2.assert_equal(acc[1], e2.neg(y))
 
+    def _bind_public(self, pub) -> Element:
+        if isinstance(pub, Element):
+            return pub  # cross-curve: caller-allocated emulated scalar
+        if isinstance(pub, int):
+            return self.curve.fr.constant(pub)
+        return self.curve.fr.from_native(pub)  # same-curve native variable
+
     def assert_proof(self, proof: VerifierProof, public_inputs) -> None:
-        """Constrain the proof valid for the native public inputs
+        """Constrain the proof valid for the given public inputs
         (≙ Verifier.AssertProof, verifier.go): on-curve/subgroup checks,
         kSum = K₀ + Σ pubᵢ·Kᵢ₊₁, then
         e(Ar, Bs)·e(−kSum, γ)·e(−Krs, δ) == e(α, β)."""
@@ -107,15 +158,14 @@ class Groth16Verifier:
                 f"got {len(public_inputs)}"
             )
         c = self.curve
-        # G1 has cofactor 1 on BN254: on-curve is the subgroup check
-        c.assert_on_curve(proof.ar)
-        c.assert_on_curve(proof.krs)
+        self._assert_g1_member(proof.ar)
+        self._assert_g1_member(proof.krs)
         self._assert_g2_member(proof.bs)
 
         k_sum = c.constant_point(vk.g1_k[0])
-        n_bits = bn254.R.bit_length()
+        n_bits = self._r.bit_length()
         for pub, k_pt in zip(public_inputs, vk.g1_k[1:]):
-            s = c.fr.from_native(pub)
+            s = self._bind_public(pub)
             term = c.scalar_mul(c.constant_point(k_pt), s, n_bits)
             k_sum = c.add_unified(k_sum, term)
 

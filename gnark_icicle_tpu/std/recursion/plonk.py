@@ -1,12 +1,17 @@
-"""In-circuit PLONK verifier over emulated BN254 (same-curve recursion).
+"""In-circuit PLONK verifier over emulated curves (BN254, BLS12-381).
 
 Role parity: reference std/recursion/plonk (verifier.go — AssertProof:
 in-circuit transcript replay, linearization-constant check, folded KZG
 batch opening). The inner proof must be produced with fs_hash="mimc"
 (≙ recursion.NewShort: the inner prover swaps to a hash the outer circuit
-can afford), so all Fiat-Shamir challenges replay NATIVELY here — only the
-curve points and the final pairing are emulated. The verifying key is
-circuit-constant (the reference's "fixed" vk placement).
+can afford). For SAME-curve recursion (BN254-in-BN254) the inner Fr is
+the outer native field, so challenges replay natively and only points and
+the pairing are emulated. For CROSS-curve recursion (a BLS12-381 proof
+inside a BN254 circuit) every scalar — transcript, Lagrange evaluations,
+linearization algebra — runs through the emulated inner Fr
+(EmulatedNamedTranscript / EmulatedMiMC), still bit-identical to the host
+prover's transcript. The verifying key is circuit-constant (the
+reference's "fixed" vk placement).
 
 Mirrors the gnark proof shape (backend/plonk/verify.py): checks the
 claimed linearized-poly opening against −constLin, rebuilds the
@@ -26,8 +31,9 @@ from dataclasses import dataclass
 
 from ...backend.transcript import point_limbs
 from ...curves import bn254
-from ..fiat_shamir import NamedTranscript
-from ..sw_emulated import AffinePoint, BN254G1, EmulatedCurve
+from ..emulated import Element
+from ..fiat_shamir import EmulatedNamedTranscript, NamedTranscript
+from ..sw_emulated import AffinePoint, BLS12381G1, BN254G1, EmulatedCurve
 from ..pairing_bn254 import BN254Pairing
 
 _CHALLENGES = ["gamma", "beta", "alpha", "zeta"]
@@ -36,22 +42,111 @@ _CHALLENGES = ["gamma", "beta", "alpha", "zeta"]
 @dataclass
 class PlonkVerifierProof:
     """Gadget-side PLONK proof (≙ recursion/plonk.Proof). Points are
-    emulated G1 witnesses; evaluations are NATIVE Fr variables."""
+    emulated G1 witnesses; evaluations are inner-Fr scalars (native vars
+    for same-curve recursion, emulated Elements cross-curve)."""
 
     lro: list                    # 3 AffinePoints
     z_com: AffinePoint
     h_coms: list                 # 3 AffinePoints
-    batch_claimed: list          # native vars [lin, l, r, o, s1, s2]
+    batch_claimed: list          # scalars [lin, l, r, o, s1, s2]
     batch_h: AffinePoint         # W₁: batched opening at ζ
-    z_shifted_claimed: object    # native var Z(ωζ)
+    z_shifted_claimed: object    # scalar Z(ωζ)
     z_shifted_h: AffinePoint     # W₂: Z opening at ωζ
+
+
+class _NativeScalars:
+    """Inner-Fr algebra when inner Fr == the outer native field."""
+
+    def __init__(self, api, q: int):
+        self.api = api
+        self.q = q
+
+    def constant(self, v: int):
+        return v % self.q
+
+    def add(self, *vs):
+        return self.api.add(*vs) if len(vs) > 1 else vs[0]
+
+    def sub(self, a, b):
+        return self.api.sub(a, b)
+
+    def mul(self, *vs):
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = self.api.mul(acc, v)
+        return acc
+
+    def inverse(self, a):
+        return self.api.inverse(a)
+
+    def assert_zero(self, a):
+        self.api.assert_is_equal(a, 0)
+
+    def pow_int(self, a, e: int):
+        acc = None
+        for b in bin(e)[2:]:
+            if acc is not None:
+                acc = self.api.mul(acc, acc)
+            if acc is None:
+                acc = a
+            elif b == "1":
+                acc = self.api.mul(acc, a)
+        return acc
+
+    def to_curve_scalar(self, curve, v):
+        return curve.fr.from_native(v)
+
+
+class _EmulatedScalars:
+    """Inner-Fr algebra through an EmulatedField (cross-curve)."""
+
+    def __init__(self, fr):
+        self.fr = fr
+        self.q = fr.p
+
+    def constant(self, v: int):
+        return self.fr.constant(v)
+
+    def add(self, *vs):
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = self.fr.add(acc, v)
+        return acc
+
+    def sub(self, a, b):
+        return self.fr.sub(a, b)
+
+    def mul(self, *vs):
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = self.fr.mul(acc, v)
+        return acc
+
+    def inverse(self, a):
+        return self.fr.inverse(a)
+
+    def assert_zero(self, a):
+        self.fr.assert_equal(a, self.fr.constant(0))
+
+    def pow_int(self, a, e: int):
+        acc = a
+        for b in bin(e)[3:]:
+            acc = self.fr.mul(acc, acc)
+            if b == "1":
+                acc = self.fr.mul(acc, a)
+        return acc
+
+    def to_curve_scalar(self, curve, v):
+        return v  # already an Element of curve.fr's field
 
 
 class PlonkVerifier:
     """≙ recursion/plonk.Verifier with a circuit-constant vk; the inner
-    proof must come from plonk.prove(..., fs_hash="mimc")."""
+    proof must come from plonk.prove(..., fs_hash="mimc"). curve_id
+    selects same-curve ("bn254") or cross-curve ("bls12-381")."""
 
-    def __init__(self, api, native_modulus: int, vk):
+    def __init__(self, api, native_modulus: int, vk,
+                 curve_id: str = "bn254"):
         if vk.commitment_constraint_indexes:
             raise NotImplementedError(
                 "recursion over BSB22-commitment PLONK proofs: later round"
@@ -59,8 +154,26 @@ class PlonkVerifier:
         self.api = api
         self.q = native_modulus
         self.vk = vk
-        self.curve = EmulatedCurve(api, BN254G1, native_modulus)
-        self.pairing = BN254Pairing(api, native_modulus)
+        self.curve_id = curve_id
+        if curve_id == "bn254":
+            self.curve = EmulatedCurve(api, BN254G1, native_modulus)
+            self.pairing = BN254Pairing(api, native_modulus)
+            self._r = bn254.R
+            self.s = _NativeScalars(api, native_modulus)
+            self._mk_ts = lambda names: NamedTranscript(
+                api, native_modulus, names)
+        elif curve_id == "bls12-381":
+            from ...curves import bls12_381 as b381
+            from ..pairing_bls12_381 import BLS12381Pairing
+
+            self.curve = EmulatedCurve(api, BLS12381G1, native_modulus)
+            self.pairing = BLS12381Pairing(api, native_modulus)
+            self._r = b381.R
+            self.s = _EmulatedScalars(self.curve.fr)
+            self._mk_ts = lambda names: EmulatedNamedTranscript(
+                self.curve.fr, names)
+        else:
+            raise ValueError(f"unsupported recursion curve {curve_id!r}")
         e2 = self.pairing.e2
         self._g2_gen = (e2.constant(vk.g2_gen[0].c0, vk.g2_gen[0].c1),
                         e2.constant(vk.g2_gen[1].c0, vk.g2_gen[1].c1))
@@ -79,9 +192,10 @@ class PlonkVerifier:
             lro=[g1(c) for c in proof.lro],
             z_com=g1(proof.z_com),
             h_coms=[g1(c) for c in proof.h_coms],
-            batch_claimed=[int(v) for v in proof.batch_claimed],
+            batch_claimed=[self.s.constant(int(v))
+                           for v in proof.batch_claimed],
             batch_h=g1(proof.batch_h),
-            z_shifted_claimed=int(proof.z_shifted_claimed),
+            z_shifted_claimed=self.s.constant(int(proof.z_shifted_claimed)),
             z_shifted_h=g1(proof.z_shifted_h),
         )
 
@@ -101,38 +215,32 @@ class PlonkVerifier:
 
     def _bind_const_point(self, ts, name: str, host_pt):
         """vk commitments are circuit constants; bind their host limbs."""
-        ts.bind(name, point_limbs(None, host_pt))
-
-    def _pow(self, base, e: int):
-        api = self.api
-        acc = None
-        for b in bin(e)[2:]:
-            acc = api.mul(acc, acc) if acc is not None else None
-            if acc is None:
-                acc = base
-                continue
-            if b == "1":
-                acc = api.mul(acc, base)
-        return acc
+        ts.bind(name, point_limbs(None, host_pt, n_limbs=self.curve.fp.k))
 
     # -- the verifier --------------------------------------------------------
     def assert_proof(self, proof: PlonkVerifierProof, public_inputs) -> None:
-        """Constrain the proof valid for the native public inputs
-        (≙ backend/plonk/verify.py replayed in-circuit)."""
-        api = self.api
-        q = self.q
+        """Constrain the proof valid for the given public inputs
+        (≙ backend/plonk/verify.py replayed in-circuit). public_inputs:
+        native variables (same-curve) or emulated Elements / host ints
+        (cross-curve)."""
         vk = self.vk
         c = self.curve
+        s = self.s
         n = 1 << vk.log_n
         omega, k1, k2 = vk.omega, vk.k1, vk.k2
-        n_bits = bn254.R.bit_length()
+        n_bits = self._r.bit_length()
+        public_inputs = [
+            pv if not isinstance(pv, int) or self.curve_id == "bn254"
+            else s.constant(pv)
+            for pv in public_inputs
+        ]
 
         for pt in (*proof.lro, proof.z_com, *proof.h_coms,
                    proof.batch_h, proof.z_shifted_h):
-            c.assert_on_curve(pt)  # BN254 G1 cofactor 1
+            c.assert_on_curve(pt)  # G1 binding for the pairing inputs
 
-        # ---- transcript replay (native MiMC, ≙ MiMCTranscript) ------------
-        ts = NamedTranscript(api, q, _CHALLENGES)
+        # ---- transcript replay (≙ MiMCTranscript, host-bit-identical) -----
+        ts = self._mk_ts(_CHALLENGES)
         for nm in ("s1", "s2", "s3", "ql", "qr", "qm", "qo", "qk"):
             self._bind_const_point(ts, "gamma", vk.commitments[nm])
         ts.bind("gamma", list(public_inputs))
@@ -149,64 +257,66 @@ class PlonkVerifier:
         lin_z, l_z, r_z, o_z, s1_z, s2_z = proof.batch_claimed
         zu = proof.z_shifted_claimed
 
-        # ---- linearization constant at ζ (all native) ---------------------
-        zeta_n = self._pow(zeta, n)
-        zh_zeta = api.sub(zeta_n, 1)
+        # ---- linearization constant at ζ (inner-Fr algebra) ---------------
+        one = s.constant(1)
+        zeta_n = s.pow_int(zeta, n)
+        zh_zeta = s.sub(zeta_n, one)
 
         def lagrange_at(j: int):
-            wj = pow(omega, j, q)
-            den = api.mul(api.sub(zeta, wj), n)
-            return api.mul(api.mul(wj, zh_zeta), api.inverse(den))
+            wj = s.constant(pow(omega, j, s.q))
+            den = s.mul(s.sub(zeta, wj), s.constant(n))
+            return s.mul(s.mul(wj, zh_zeta), s.inverse(den))
 
-        pi = 0
+        pi = s.constant(0)
         for j, pv in enumerate(public_inputs):
-            pi = api.add(pi, api.mul(pv, lagrange_at(j)))
-        l1_zeta = api.mul(zh_zeta, api.inverse(api.mul(api.sub(zeta, 1), n)))
-        alpha2_l1 = api.mul(api.mul(alpha, alpha), l1_zeta)
+            pi = s.add(pi, s.mul(pv, lagrange_at(j)))
+        l1_den = s.mul(s.sub(zeta, one), s.constant(n))
+        l1_zeta = s.mul(zh_zeta, s.inverse(l1_den))
+        alpha2_l1 = s.mul(s.mul(alpha, alpha), l1_zeta)
 
-        cprod = api.mul(
-            api.add(l_z, api.mul(beta, s1_z), gamma),
-            api.add(r_z, api.mul(beta, s2_z), gamma),
+        cprod = s.mul(
+            s.add(l_z, s.mul(beta, s1_z), gamma),
+            s.add(r_z, s.mul(beta, s2_z), gamma),
         )
-        const_lin = api.mul(api.mul(cprod, api.add(o_z, gamma)),
-                            api.mul(alpha, zu))
-        const_lin = api.add(api.sub(const_lin, alpha2_l1), pi)
-        api.assert_is_equal(api.add(lin_z, const_lin), 0)
+        const_lin = s.mul(s.mul(cprod, s.add(o_z, gamma)),
+                          s.mul(alpha, zu))
+        const_lin = s.add(s.sub(const_lin, alpha2_l1), pi)
+        s.assert_zero(s.add(lin_z, const_lin))
 
         # ---- linearized polynomial digest (emulated MSM) ------------------
-        s1_coef = api.mul(api.mul(cprod, beta), api.mul(alpha, zu))
-        bz = api.mul(beta, zeta)
-        idp = api.add(l_z, bz, gamma)
-        idp = api.mul(idp, api.add(r_z, api.mul(bz, k1), gamma))
-        idp = api.mul(idp, api.add(o_z, api.mul(bz, k2), gamma))
-        z_coef = api.sub(alpha2_l1, api.mul(alpha, idp))
-        rl = api.mul(l_z, r_z)
-        zeta_n2 = self._pow(zeta, n + 2)
-        neg_zh = api.sub(0, zh_zeta)
+        s1_coef = s.mul(s.mul(cprod, beta), s.mul(alpha, zu))
+        bz = s.mul(beta, zeta)
+        idp = s.add(l_z, bz, gamma)
+        idp = s.mul(idp, s.add(r_z, s.mul(bz, s.constant(k1)), gamma))
+        idp = s.mul(idp, s.add(o_z, s.mul(bz, s.constant(k2)), gamma))
+        z_coef = s.sub(alpha2_l1, s.mul(alpha, idp))
+        rl = s.mul(l_z, r_z)
+        zeta_n2 = s.pow_int(zeta, n + 2)
+        neg_zh = s.sub(s.constant(0), zh_zeta)
         h1_coef = neg_zh
-        h2_coef = api.mul(neg_zh, zeta_n2)
-        h3_coef = api.mul(h2_coef, zeta_n2)
+        h2_coef = s.mul(neg_zh, zeta_n2)
+        h3_coef = s.mul(h2_coef, zeta_n2)
 
-        def smul(pt, scalar_native):
-            return c.scalar_mul(pt, c.fr.from_native(scalar_native), n_bits)
+        def smul(pt, scalar):
+            return c.scalar_mul(pt, s.to_curve_scalar(c, scalar), n_bits)
 
         lin_digest = c.constant_point(vk.commitments["qk"])  # scalar 1
-        for nm, s in (("ql", l_z), ("qr", r_z), ("qm", rl), ("qo", o_z)):
+        for nm, sc in (("ql", l_z), ("qr", r_z), ("qm", rl), ("qo", o_z)):
             host_pt = vk.commitments[nm]
             if host_pt is None:
                 continue  # zero selector column: s·O = O
             lin_digest = c.add_unified(
-                lin_digest, smul(c.constant_point(host_pt), s))
+                lin_digest, smul(c.constant_point(host_pt), sc))
         lin_digest = c.add_unified(
             lin_digest, smul(c.constant_point(vk.commitments["s3"]), s1_coef))
         lin_digest = c.add_unified(lin_digest, smul(proof.z_com, z_coef))
-        for h_pt, s in zip(proof.h_coms, (h1_coef, h2_coef, h3_coef)):
-            lin_digest = c.add_unified(lin_digest, smul(h_pt, s))
+        for h_pt, sc in zip(proof.h_coms, (h1_coef, h2_coef, h3_coef)):
+            lin_digest = c.add_unified(lin_digest, smul(h_pt, sc))
 
         # ---- fold the batch opening with the KZG γ challenge --------------
         # (≙ kzg.FoldProof's deriveGamma: point, digests, claimed values,
         # then the shifted opening's claimed value)
-        fts = NamedTranscript(api, q, ["gamma"])
+        fts = self._mk_ts(["gamma"])
         fts.bind("gamma", [zeta])
         self._absorb_point(fts, "gamma", lin_digest)
         for cm in proof.lro:
@@ -221,32 +331,32 @@ class PlonkVerifier:
                    c.constant_point(vk.commitments["s1"]),
                    c.constant_point(vk.commitments["s2"])]
         fold_c = None
-        fold_v = 0
-        gi = 1  # native accumulator of γ^i
+        fold_v = s.constant(0)
+        gi = None  # None encodes γ⁰ = 1 (skip the first scalar mul)
         for d, v in zip(digests, proof.batch_claimed):
-            term = d if gi == 1 else smul(d, gi)
+            term = d if gi is None else smul(d, gi)
             fold_c = term if fold_c is None else c.add_unified(fold_c, term)
-            fold_v = api.add(fold_v, api.mul(gi, v))
-            gi = api.mul(gi, gamma_kzg)
+            fold_v = s.add(fold_v, v if gi is None else s.mul(gi, v))
+            gi = gamma_kzg if gi is None else s.mul(gi, gamma_kzg)
 
         # ---- fold both openings with u into one pairing check -------------
-        uts = NamedTranscript(api, q, ["u"])
+        uts = self._mk_ts(["u"])
         uts.bind("u", [gamma_kzg])
         self._absorb_point(uts, "u", proof.batch_h)
         self._absorb_point(uts, "u", proof.z_shifted_h)
         u = uts.compute_challenge("u")
 
-        def opening_f(com, z_native, val_native, w_pt):
+        def opening_f(com, z_scalar, val_scalar, w_pt):
             """F = C − val·G + z·W for one KZG claim."""
-            vg = c.scalar_mul_base(c.fr.from_native(val_native), n_bits)
-            zw = c.scalar_mul(w_pt, c.fr.from_native(z_native), n_bits)
+            vg = c.scalar_mul_base(s.to_curve_scalar(c, val_scalar), n_bits)
+            zw = c.scalar_mul(w_pt, s.to_curve_scalar(c, z_scalar), n_bits)
             return c.add_unified(c.add_unified(com, c.neg(vg)), zw)
 
         f1 = opening_f(fold_c, zeta, fold_v, proof.batch_h)
-        zw_native = api.mul(zeta, omega)
-        f2 = opening_f(proof.z_com, zw_native, proof.z_shifted_claimed,
+        zw_scalar = s.mul(zeta, s.constant(omega))
+        f2 = opening_f(proof.z_com, zw_scalar, proof.z_shifted_claimed,
                        proof.z_shifted_h)
-        u_em = c.fr.from_native(u)
+        u_em = s.to_curve_scalar(c, u)
         f_all = c.add_unified(f1, c.scalar_mul(f2, u_em, n_bits))
         w_all = c.add_unified(
             proof.batch_h,

@@ -54,3 +54,58 @@ def test_recursion_rejects_off_curve_point(inner_proof):
     off_curve.krs = gv.curve.constant_point((x, x))
     with pytest.raises(EngineUnsatisfiedError):
         gv.assert_proof(off_curve, pub)
+
+
+# -- cross-curve: BLS12-381 proof inside a BN254 circuit ---------------------
+
+@pytest.fixture(scope="module")
+def inner_proof_381():
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+
+    cs = compile_circuit(b381.R, Cubic)
+    pk, vk = groth16.setup(cs, b381.BLS12_381, rng=random.Random(2025))
+    pub, sec = [35], [3]
+    proof = groth16.prove(cs, pk, pub, sec, b381.BLS12_381,
+                          rng=random.Random(8))
+    groth16.verify(proof, vk, pub, b381.BLS12_381)
+    return vk, proof, pub
+
+
+@pytest.mark.slow
+def test_cross_curve_recursion_bls381_in_bn254(inner_proof_381):
+    """≙ reference std/recursion/groth16 with sw_bls12381: the inner
+    curve's Fr is emulated, G1 membership needs the cofactor ladder."""
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+
+    vk, proof, pub = inner_proof_381
+    gv = Groth16Verifier(Engine(Q), Q, vk, curve_id="bls12-381")
+    gv.assert_proof(gv.proof_witness(proof), pub)
+
+    # wrong public input must fail
+    gv2 = Groth16Verifier(Engine(Q), Q, vk, curve_id="bls12-381")
+    with pytest.raises(EngineUnsatisfiedError):
+        gv2.assert_proof(gv2.proof_witness(proof), [36])
+
+
+@pytest.mark.slow
+def test_cross_curve_recursion_rejects_non_subgroup_g1(inner_proof_381):
+    """BLS12-381 G1 cofactor > 1: an on-curve point outside the order-r
+    subgroup must fail the [r−1]P == −P ladder."""
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+
+    vk, proof, pub = inner_proof_381
+    rng = random.Random(99)
+    # random x-lift WITHOUT cofactor clearing: w.h.p. full-order point
+    while True:
+        x = rng.randrange(b381.P)
+        rhs = (pow(x, 3, b381.P) + 4) % b381.P
+        y = pow(rhs, (b381.P + 1) // 4, b381.P)
+        if (y * y) % b381.P != rhs:
+            continue
+        if not b381.G1.in_subgroup((x, y)):
+            break
+    gv = Groth16Verifier(Engine(Q), Q, vk, curve_id="bls12-381")
+    bad = gv.proof_witness(proof)
+    bad.ar = gv.curve.constant_point((x, y))
+    with pytest.raises(EngineUnsatisfiedError):
+        gv.assert_proof(bad, pub)

@@ -58,3 +58,32 @@ def test_plonk_recursion_rejects_tampered_eval(inner_proof):
     bad.batch_claimed[1] = (bad.batch_claimed[1] + 1) % Q
     with pytest.raises(EngineUnsatisfiedError):
         pv.assert_proof(bad, pub)
+
+
+# -- cross-curve: BLS12-381 PLONK proof inside a BN254 circuit ---------------
+
+@pytest.fixture(scope="module")
+def inner_proof_381():
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+
+    cs = compile_circuit(b381.R, Cubic, builder="scs")
+    pk, vk = plonk.setup(cs, b381.BLS12_381, rng=random.Random(3))
+    pub, sec = [35], [3]
+    proof = plonk.prove(cs, pk, pub, sec, b381.BLS12_381,
+                        rng=random.Random(4), fs_hash="mimc")
+    plonk.verify(proof, vk, pub, b381.BLS12_381, fs_hash="mimc")
+    return vk, proof, pub
+
+
+@pytest.mark.slow
+def test_cross_curve_plonk_recursion(inner_proof_381):
+    """≙ reference std/recursion/plonk over sw_bls12381: the whole
+    verifier — MiMC transcript, Lagrange/linearization algebra, KZG
+    folds — replays through the EMULATED inner Fr."""
+    vk, proof, pub = inner_proof_381
+    pv = PlonkVerifier(Engine(Q), Q, vk, curve_id="bls12-381")
+    pv.assert_proof(pv.proof_witness(proof), pub)
+
+    pv2 = PlonkVerifier(Engine(Q), Q, vk, curve_id="bls12-381")
+    with pytest.raises(EngineUnsatisfiedError):
+        pv2.assert_proof(pv2.proof_witness(proof), [36])

@@ -182,6 +182,73 @@ def _mulcheck_hint(q, inputs):
 MULCHECK = hintlib.register_hint(_mulcheck_hint, "emulated.mulcheck")
 
 
+def _varmulcheck_hint(q, inputs):
+    """MULCHECK with a WITNESS modulus (≙ the reference's variable-modulus
+    mulMod hint backing emulated field_ops ModMul/ModExp, hints.go).
+
+    inputs: a_limbs (a_len) + b_limbs (b_len) + m_limbs (k), static tail
+    [w, k, a_len, b_len, quo_len, carry_len]. outputs: quo + rem(k) +
+    carries, same layout as _mulcheck_hint."""
+    carry_len = int(inputs[-1])
+    quo_len = int(inputs[-2])
+    b_len = int(inputs[-3])
+    a_len = int(inputs[-4])
+    k = int(inputs[-5])
+    w = int(inputs[-6])
+    mask = (1 << w) - 1
+    dyn = inputs[: len(inputs) - 6]
+    a_limbs = [int(v) for v in dyn[:a_len]]
+    b_limbs = [int(v) for v in dyn[a_len : a_len + b_len]]
+    m_limbs = [int(v) for v in dyn[a_len + b_len :]]
+    assert len(m_limbs) == k
+    a = sum(v << (w * i) for i, v in enumerate(a_limbs))
+    b = sum(v << (w * i) for i, v in enumerate(b_limbs))
+    m = sum(v << (w * i) for i, v in enumerate(m_limbs))
+    if m == 0:
+        raise ValueError("varmulcheck: zero modulus")
+    quo, rem = divmod(a * b, m)
+    outs = [(quo >> (w * i)) & mask for i in range(quo_len)]
+    outs += [(rem >> (w * i)) & mask for i in range(k)]
+    xp = [0] * (a_len + b_len - 1)
+    yp = [0] * max(quo_len + k - 1, k)
+    for i, av in enumerate(a_limbs):
+        for j, bv in enumerate(b_limbs):
+            xp[i + j] += av * bv
+    for i in range(k):
+        yp[i] += (rem >> (w * i)) & mask
+        for j in range(quo_len):
+            yp[i + j] += ((quo >> (w * j)) & mask) * m_limbs[i]
+    carry = 0
+    for i in range(carry_len):
+        if i < len(xp):
+            carry += xp[i]
+        if i < len(yp):
+            carry -= yp[i]
+        carry >>= w
+        outs.append(carry % q)
+    return outs
+
+
+VARMULCHECK = hintlib.register_hint(_varmulcheck_hint, "emulated.varmulcheck")
+
+
+def _ltdec_hint(q, inputs):
+    """d = m - r - 1 limbs for the r < m borrow-chain proof.
+    inputs: r limbs (k) + m limbs (k), static (k, w)."""
+    k = int(inputs[-2])
+    w = int(inputs[-1])
+    mask = (1 << w) - 1
+    r = sum(int(v) << (w * i) for i, v in enumerate(inputs[:k]))
+    m = sum(int(v) << (w * i) for i, v in enumerate(inputs[k : 2 * k]))
+    d = m - r - 1
+    if d < 0:
+        d = 0  # caught by the in-circuit identity
+    return [(d >> (w * i)) & mask for i in range(k)]
+
+
+LTDEC = hintlib.register_hint(_ltdec_hint, "emulated.ltdec")
+
+
 def _invmod_hint(q, inputs):
     """inputs: [x0..k-1] + static (k, w, p_limb0..k-1) — limbs of x⁻¹ mod p
     (0 → 0, caught by the mul check)."""
@@ -463,7 +530,7 @@ class EmulatedField:
             self._check_width(v, bits)
         r_el = Element(rem, 1 << self.w)
         self._mul_checks.append(
-            (a, b, r_el, Element(quo, 1 << self.w), Element(car, 0))
+            (a, b, r_el, Element(quo, 1 << self.w), Element(car, 0), None)
         )
         return r_el
 
@@ -484,7 +551,7 @@ class EmulatedField:
             self._check_width(v, self.w)
         zero = Element([], 1)  # r ≡ 0 on zero limbs
         self._mul_checks.append(
-            (a, one, zero, Element(quo, 1 << self.w), Element(car, 0))
+            (a, one, zero, Element(quo, 1 << self.w), Element(car, 0), None)
         )
 
     def _eval_with_challenge(self, e: Element, at):
@@ -511,11 +578,13 @@ class EmulatedField:
         to_commit = []
         for rec in checks:
             for el in rec:
-                to_commit.extend(el.limbs)
+                if el is not None:
+                    to_commit.extend(el.limbs)
 
         def run(api_, ch):
             n_pow = max(
-                max(len(el.limbs) for el in rec) for rec in checks
+                max(len(el.limbs) for el in rec if el is not None)
+                for rec in checks
             )
             at = [ch]
             for _ in range(n_pow - 2):
@@ -523,19 +592,23 @@ class EmulatedField:
             p_el = self.constant_element_p()
             p_eval = self._eval_with_challenge(p_el, at)
             coef = api_.sub(1 << self.w, ch)
-            for a, b, r, q_el, c in checks:
+            for a, b, r, q_el, c, m_el in checks:
                 ls = api_.mul(
                     self._eval_with_challenge(a, at),
                     self._eval_with_challenge(b, at),
                 )
+                mod_eval = (p_eval if m_el is None
+                            else self._eval_with_challenge(m_el, at))
                 rs = api_.add(
                     self._eval_with_challenge(r, at),
-                    api_.mul(p_eval, self._eval_with_challenge(q_el, at)),
+                    api_.mul(mod_eval, self._eval_with_challenge(q_el, at)),
                     api_.mul(self._eval_with_challenge(c, at), coef),
                 )
                 api_.assert_is_equal(ls, rs)
             for rec in checks:
                 for el in rec:
+                    if el is None:
+                        continue
                     el.evaluation = 0
                     el.is_evaluated = False
             self._mul_checks = []
@@ -674,3 +747,111 @@ class EmulatedField:
         for i, v in enumerate(a.limbs):
             total += int(v) << (self.w * i)
         return total % self.p
+
+    # -- variable-modulus arithmetic (≙ emulated field_ops ModMul/ModExp) ----
+    def assert_elem_lt(self, a: Element, b: Element):
+        """a < b as k·w-bit INTEGERS (not mod p): hint d = b − a − 1 and
+        prove a + d + 1 == b by a limb carry chain. Requires canonical-width
+        limbs on both sides (reduce/from_limbs first)."""
+        api = self.api
+        k, w = self.k, self.w
+        assert len(a.limbs) == k and len(b.limbs) == k
+        d = api.new_hint(LTDEC, k, *a.limbs, *b.limbs,
+                         static_args=(k, w))
+        for v in d:
+            self._check_width(v, w)
+        carry = 0
+        for i in range(k):
+            s = api.add(a.limbs[i], d[i], carry, 1 if i == 0 else 0)
+            bits = api.to_binary(s, w + 1)
+            low = 0
+            for j, bit in enumerate(bits[:w]):
+                low = api.add(low, api.mul(bit, 1 << j)) if j else bit
+            api.assert_is_equal(low, b.limbs[i])
+            carry = bits[w]
+        api.assert_is_equal(carry, 0)
+
+    def _limbs_is_zero(self, a: Element):
+        """Native boolean: all limbs are literally zero (an INTEGER zero
+        test — unlike is_zero, no mod-p aliasing)."""
+        api = self.api
+        acc = None
+        for v in a.limbs:
+            z = api.is_zero(v)
+            acc = z if acc is None else api.and_(acc, z)
+        return acc
+
+    def mod_mul(self, a: Element, b: Element, m: Element) -> Element:
+        """a·b mod m for a WITNESS modulus m ≥ 1 (≙ field_ops ModMul):
+        hinted (quo, rem), the integer identity a·b == quo·m + rem joins
+        the deferred mulcheck pass with m's own challenge evaluation, and
+        rem < m is proven by the borrow chain — so the result is the
+        canonical representative."""
+        if self._engine_api():
+            av, bv, mv = (self._value_of(x) for x in (a, b, m))
+            if mv == 0:
+                from ..frontend.engine import EngineUnsatisfiedError
+
+                raise EngineUnsatisfiedError("mod_mul: zero modulus")
+            return self.constant_raw(av * bv % mv)
+        api = self.api
+        k, w = self.k, self.w
+        assert len(m.limbs) == k
+        assert a.bound * b.bound * max(self.k, 2) * (1 << (self.w + 2)) \
+            < self.q, "native overflow"
+        a_len, b_len = len(a.limbs), len(b.limbs)
+        # worst-case quotient: m ≥ 1 ⇒ quo ≤ a·b < 2^(w(a_len+b_len))
+        quo_len = a_len + b_len
+        carry_len = max(a_len + b_len - 1, quo_len + k - 1) - 1
+        outs = api.new_hint(
+            VARMULCHECK, quo_len + k + carry_len,
+            *a.limbs, *b.limbs, *m.limbs,
+            static_args=(w, k, a_len, b_len, quo_len, carry_len),
+        )
+        quo = outs[:quo_len]
+        rem = outs[quo_len : quo_len + k]
+        car = outs[quo_len + k :]
+        for v in quo:
+            self._check_width(v, w)
+        for v in rem:
+            self._check_width(v, w)
+        r_el = Element(rem, 1 << w)
+        self._mul_checks.append(
+            (a, b, r_el, Element(quo, 1 << w), Element(car, 0), m)
+        )
+        self.assert_elem_lt(r_el, m)
+        return r_el
+
+    def constant_raw(self, value: int) -> Element:
+        """Limb constant WITHOUT mod-p reduction (variable-modulus values
+        live in [0, 2^(k·w)), independent of p)."""
+        assert 0 <= value < (1 << (self.w * self.k))
+        limbs = [
+            (value >> (self.w * i)) & ((1 << self.w) - 1)
+            for i in range(self.k)
+        ]
+        return Element(limbs, 1 << self.w)
+
+    def mod_exp(self, base: Element, exp: Element, m: Element) -> Element:
+        """base^exp mod m for witness m ≥ 2 (≙ field_ops ModExp /
+        evmprecompiles.Expmod's core): reduce base, then a k·w-bit
+        MSB-first square-multiply with per-bit select."""
+        if self._engine_api():
+            bv, ev, mv = (self._value_of(x) for x in (base, exp, m))
+            if mv == 0:
+                from ..frontend.engine import EngineUnsatisfiedError
+
+                raise EngineUnsatisfiedError("mod_exp: zero modulus")
+            return self.constant_raw(pow(bv, ev, mv))
+        api = self.api
+        one = self.constant_raw(1)
+        acc = one
+        base_red = self.mod_mul(base, one, m)  # base mod m
+        exp_bits = []
+        for limb in exp.limbs:
+            exp_bits.extend(api.to_binary(limb, self.w))
+        for bit in reversed(exp_bits):
+            acc = self.mod_mul(acc, acc, m)
+            factor = self.select(bit, base_red, one)
+            acc = self.mod_mul(acc, factor, m)
+        return acc

@@ -6,11 +6,10 @@ use to prove EVM execution of the precompiled contracts. Built entirely on
 the existing gadget layer: sw_emulated curves, the emulated secp256k1
 fields, the sha2 gadget, and the sw_bn254 pairing.
 
-Implemented: 0x01 ECRECOVER, 0x02 SHA256, 0x04 IDENTITY, 0x06 ECADD,
-0x07 ECMUL, 0x08 ECPAIRING. Not implemented: 0x05 MODEXP — the reference's
-variant runs emulated arithmetic modulo a WITNESS modulus
-(emulated.ModExp, 05-expmod.go:17); our emulated fields are fixed-modulus,
-so Expmod needs a variable-modulus mulmod gadget first (ROADMAP).
+Implemented: 0x01 ECRECOVER, 0x02 SHA256, 0x04 IDENTITY, 0x05 MODEXP
+(expmod below — arithmetic modulo a WITNESS modulus via the
+variable-modulus mulcheck path, emulated.mod_exp ≙ 05-expmod.go:17),
+0x06 ECADD, 0x07 ECMUL, 0x08 ECPAIRING.
 
 Differences from the reference's ECRecover: inputs are assumed
 well-formed (no isFailure escape hatch — invalid inputs make the circuit
@@ -242,3 +241,23 @@ def ec_pair(api, native_modulus: int, pairs) -> None:
         e2.assert_equal(acc[1], e2.neg(y))
         flat.append(((p.x, p.y), q))
     pairing.assert_pairing_check(flat)
+
+
+def expmod(api, fp, base: Element, exp: Element, modulus: Element) -> Element:
+    """≙ evmprecompiles.Expmod (05-expmod.go:17), precompile 0x05:
+    base^exp mod modulus with the EVM edge semantics x mod 0 = 0 and
+    x mod 1 = 0. fp: an EmulatedField whose (k, w) layout bounds the
+    input sizes (the reference's Element[P] role); the modulus is a
+    WITNESS — arithmetic runs through the variable-modulus mulcheck path
+    (emulated.mod_exp)."""
+    one = fp.constant_raw(1)
+    is_zero_mod = fp._limbs_is_zero(modulus)
+    # modulus == 1: limb0 == 1 and every other limb zero
+    lz = api.is_zero(api.sub(modulus.limbs[0], 1))
+    for limb in modulus.limbs[1:]:
+        lz = api.and_(lz, api.is_zero(limb))
+    degenerate = api.or_(is_zero_mod, lz)
+    safe_mod = fp.select(degenerate, fp.constant_raw(2), modulus)
+    res = fp.mod_exp(base, exp, safe_mod)
+    zero = fp.constant_raw(0)
+    return fp.select(degenerate, zero, res)

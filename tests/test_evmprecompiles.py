@@ -138,3 +138,44 @@ def test_ecpair_accepts_and_rejects():
             (_bn_pt(c2, pt), g2c(pr2, qt)),
             (_bn_pt(c2, g1.neg(other)), g2c(pr2, qt)),
         ])
+
+
+def test_expmod_variable_modulus():
+    """0x05 MODEXP: witness modulus, EVM 0/1-modulus edges
+    (≙ evmprecompiles.Expmod tests)."""
+    from gnark_icicle_tpu.std.emulated import BN254_FP, EmulatedField
+
+    rng = random.Random(44)
+    eng = Engine(Q)
+    fp = EmulatedField(eng, BN254_FP, Q)
+    for _ in range(5):
+        b = rng.randrange(1 << 200)
+        e = rng.randrange(1 << 64)
+        m = rng.randrange(2, 1 << 200)
+        got = evm.expmod(eng, fp,
+                         fp.constant_raw(b),
+                         fp.constant_raw(e),
+                         fp.constant_raw(m))
+        want = pow(b, e, m)
+        have = sum(int(v) << (64 * i) for i, v in enumerate(got.limbs))
+        assert have == want, (b, e, m)
+    # degenerate moduli
+    for m in (0, 1):
+        got = evm.expmod(eng, fp, fp.constant_raw(5),
+                         fp.constant_raw(3), fp.constant_raw(m))
+        assert sum(int(v) << (64 * i) for i, v in enumerate(got.limbs)) == 0
+
+
+def test_mod_mul_lt_soundness():
+    """The borrow-chain r < m proof rejects a non-canonical remainder."""
+    from gnark_icicle_tpu.std.emulated import BN254_FP, EmulatedField
+
+    eng = Engine(Q)
+    fp = EmulatedField(eng, BN254_FP, Q)
+    a = fp.constant_raw(100)
+    b = fp.constant_raw(77)
+    fp.assert_elem_lt(b, a)  # 77 < 100 OK
+    with pytest.raises(EngineUnsatisfiedError):
+        fp.assert_elem_lt(a, b)
+    with pytest.raises(EngineUnsatisfiedError):
+        fp.assert_elem_lt(a, a)  # strict

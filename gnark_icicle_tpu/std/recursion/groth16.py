@@ -1,10 +1,12 @@
-"""In-circuit Groth16 verifier over emulated curves (BN254, BLS12-381).
+"""In-circuit Groth16 verifier over emulated curves (BN254, BLS12-381,
+BW6-761).
 
 Role parity: reference std/recursion/groth16 (verifier.go — Verifier.
 AssertProof: in-circuit subgroup checks, kSum linear combination of the
 vk's K points by the public inputs, and the 3-pairing product against the
 precomputed e(α, β)), instantiated for the emulated curve family
-(sw_bn254, sw_bls12381). The verifying key is circuit-constant (the
+(sw_bn254, sw_bls12381, sw_bw6761 — the last wraps a 2-chain outer
+proof into a third curve). The verifying key is circuit-constant (the
 reference's "fixed" vk placement).
 
 Public inputs: for same-curve recursion (BN254-in-BN254) the inner and
@@ -24,7 +26,9 @@ from dataclasses import dataclass
 
 from ...curves import bn254
 from ..emulated import Element
-from ..sw_emulated import AffinePoint, BLS12381G1, BN254G1, EmulatedCurve
+from ..sw_emulated import (
+    AffinePoint, BLS12381G1, BN254G1, BW6761G1, BW6761G2, EmulatedCurve,
+)
 from ..pairing_bn254 import BN254Pairing
 
 
@@ -34,14 +38,17 @@ class VerifierProof:
 
     ar: AffinePoint        # G1
     krs: AffinePoint       # G1
-    bs: tuple              # G2: (x, y) pair of E2 elements
+    bs: object             # G2: (x, y) E2 pair, or an AffinePoint when
+                           # the inner curve's G2 lives over Fp (BW6-761)
 
 
 class Groth16Verifier:
     """≙ recursion/groth16.Verifier with a circuit-constant vk.
 
     curve_id selects the emulated instantiation: "bn254" (default,
-    same-curve recursion) or "bls12-381" (cross-curve)."""
+    same-curve recursion), "bls12-381" (cross-curve), or "bw6-761"
+    (wrapping a 2-chain outer proof into a third curve — the final stage
+    of BLS12-377 → BW6-761 → wrap)."""
 
     def __init__(self, api, native_modulus: int, vk, curve=None,
                  curve_id: str = "bn254"):
@@ -54,6 +61,7 @@ class Groth16Verifier:
         self.api = api
         self.vk = vk
         self.curve_id = curve_id
+        self._g2_fp2 = True  # G2 over Fp2 (12-degree curves)
         if curve_id == "bn254":
             self.curve = EmulatedCurve(api, BN254G1, native_modulus)
             self.pairing = BN254Pairing(api, native_modulus)
@@ -72,27 +80,46 @@ class Groth16Verifier:
             self._g2_b = b381.G2_B
             # BLS12-381 G1 has cofactor ≈ 2^32: on-curve is NOT membership
             self._g1_cofactor_one = False
+        elif curve_id == "bw6-761":
+            from ...curves import bw6_761 as bw6
+            from ..pairing_bw6_761 import BW6761Pairing
+
+            self.curve = EmulatedCurve(api, BW6761G1, native_modulus)
+            self._g2_curve = EmulatedCurve(api, BW6761G2, native_modulus)
+            self.pairing = BW6761Pairing(api, native_modulus)
+            host = curve if curve is not None else bw6.BW6_761
+            self._r = bw6.R
+            self._g2_fp2 = False  # sextic twist over Fp (k = 6)
+            # BW6-761 G1 cofactor is ~384 bits: ladder required
+            self._g1_cofactor_one = False
         else:
             raise ValueError(f"unsupported recursion curve {curve_id!r}")
         self._e_alpha_beta = vk.e_alpha_beta(host)
-        e2 = self.pairing.e2
-        self._gamma = (e2.constant(vk.g2_gamma[0].c0, vk.g2_gamma[0].c1),
-                       e2.constant(vk.g2_gamma[1].c0, vk.g2_gamma[1].c1))
-        self._delta = (e2.constant(vk.g2_delta[0].c0, vk.g2_delta[0].c1),
-                       e2.constant(vk.g2_delta[1].c0, vk.g2_delta[1].c1))
-        self._twist_b = e2.constant(self._g2_b.c0, self._g2_b.c1)
+        if self._g2_fp2:
+            e2 = self.pairing.e2
+            self._gamma = (e2.constant(vk.g2_gamma[0].c0, vk.g2_gamma[0].c1),
+                           e2.constant(vk.g2_gamma[1].c0, vk.g2_gamma[1].c1))
+            self._delta = (e2.constant(vk.g2_delta[0].c0, vk.g2_delta[0].c1),
+                           e2.constant(vk.g2_delta[1].c0, vk.g2_delta[1].c1))
+            self._twist_b = e2.constant(self._g2_b.c0, self._g2_b.c1)
+        else:
+            self._gamma = self._g2_curve.constant_point(vk.g2_gamma)
+            self._delta = self._g2_curve.constant_point(vk.g2_delta)
 
     # -- witness constructors ------------------------------------------------
     def proof_witness(self, proof) -> VerifierProof:
         """Bind a host Proof's point values as gadget witnesses (engine
         path; a compiled outer circuit allocates the limbs as Secret)."""
         fp = self.curve.fp
-        e2 = self.pairing.e2
+        e2 = self.pairing.e2 if self._g2_fp2 else None
 
         def g1(pt):
             return AffinePoint(fp.constant(pt[0]), fp.constant(pt[1]))
 
         def g2(pt):
+            if not self._g2_fp2:
+                return AffinePoint(self._g2_curve.fp.constant(pt[0]),
+                                   self._g2_curve.fp.constant(pt[1]))
             return (e2.constant(pt[0].c0, pt[0].c1),
                     e2.constant(pt[1].c0, pt[1].c1))
 
@@ -116,6 +143,18 @@ class Groth16Verifier:
             if bit == "1":
                 acc = c.add(acc, p)
         c.assert_is_equal(acc, c.neg(p))
+
+    def _assert_g2_member_fp(self, q_pt: AffinePoint):
+        """BW6-761: G2 lives on the Fp twist — on-curve + the same
+        [r−1]·Q == −Q ladder through the emulated G2 curve ops."""
+        g2c = self._g2_curve
+        g2c.assert_on_curve(q_pt)
+        acc = q_pt
+        for bit in bin(self._r - 1)[3:]:
+            acc = g2c.double(acc)
+            if bit == "1":
+                acc = g2c.add(acc, q_pt)
+        g2c.assert_is_equal(acc, g2c.neg(q_pt))
 
     def _assert_g2_member(self, q_pt):
         """On-curve (y² = x³ + b₂) and subgroup membership of a G2 witness
@@ -160,7 +199,10 @@ class Groth16Verifier:
         c = self.curve
         self._assert_g1_member(proof.ar)
         self._assert_g1_member(proof.krs)
-        self._assert_g2_member(proof.bs)
+        if self._g2_fp2:
+            self._assert_g2_member(proof.bs)
+        else:
+            self._assert_g2_member_fp(proof.bs)
 
         k_sum = c.constant_point(vk.g1_k[0])
         n_bits = self._r.bit_length()
@@ -172,11 +214,14 @@ class Groth16Verifier:
         def pt(p):
             return (p.x, p.y)
 
+        def g2v(v):
+            return pt(v) if not self._g2_fp2 else v
+
         self.pairing.assert_pairing_equal(
             [
-                (pt(proof.ar), proof.bs),
-                (pt(c.neg(k_sum)), self._gamma),
-                (pt(c.neg(proof.krs)), self._delta),
+                (pt(proof.ar), g2v(proof.bs)),
+                (pt(c.neg(k_sum)), g2v(self._gamma)),
+                (pt(c.neg(proof.krs)), g2v(self._delta)),
             ],
             self._e_alpha_beta,
         )

@@ -82,9 +82,22 @@ def _bw6761_g1() -> SWCurveParams:
                          c.P - 1, c.G1_GEN[0], c.G1_GEN[1])
 
 
+def _bw6761_g2() -> SWCurveParams:
+    """BW6-761 G2 (the sextic twist y² = x³ + 4 — over Fp itself, since
+    the embedding degree is 6; curves/bw6_761.py:55) as an emulated
+    short-Weierstrass group: the wrap-curve recursion verifier's G2
+    membership ladder runs on plain fp points."""
+    from .emulated import BW6761_FP, BW6761_FR
+    from ..curves import bw6_761 as c
+
+    return SWCurveParams("bw6-761.g2", BW6761_FP, BW6761_FR, 0, 4,
+                         c.G2_GEN[0], c.G2_GEN[1])
+
+
 BLS12381G1 = _bls12381_g1()
 BLS12377G1 = _bls12377_g1()
 BW6761G1 = _bw6761_g1()
+BW6761G2 = _bw6761_g2()
 
 
 class AffinePoint:

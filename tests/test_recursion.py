@@ -109,3 +109,33 @@ def test_cross_curve_recursion_rejects_non_subgroup_g1(inner_proof_381):
     bad.ar = gv.curve.constant_point((x, y))
     with pytest.raises(EngineUnsatisfiedError):
         gv.assert_proof(bad, pub)
+
+
+# -- wrap: BW6-761 proof inside a BN254 circuit (2-chain final stage) --------
+
+@pytest.fixture(scope="module")
+def inner_proof_bw6():
+    from gnark_icicle_tpu.curves import bw6_761 as bw6
+
+    cs = compile_circuit(bw6.R, Cubic)
+    pk, vk = groth16.setup(cs, bw6.BW6_761, rng=random.Random(2027))
+    pub, sec = [35], [3]
+    proof = groth16.prove(cs, pk, pub, sec, bw6.BW6_761,
+                          rng=random.Random(9))
+    groth16.verify(proof, vk, pub, bw6.BW6_761)
+    return vk, proof, pub
+
+
+@pytest.mark.slow
+def test_wrap_recursion_bw6_in_bn254(inner_proof_bw6):
+    """≙ reference std/recursion/groth16 over sw_bw6761: the final wrap
+    of the 2-chain — a BW6-761 proof (itself capable of attesting a
+    BLS12-377 verification) checked inside a BN254 circuit. G2 is an Fp
+    point (sextic twist, k=6) and both G1 and G2 need cofactor ladders."""
+    vk, proof, pub = inner_proof_bw6
+    gv = Groth16Verifier(Engine(Q), Q, vk, curve_id="bw6-761")
+    gv.assert_proof(gv.proof_witness(proof), pub)
+
+    gv2 = Groth16Verifier(Engine(Q), Q, vk, curve_id="bw6-761")
+    with pytest.raises(EngineUnsatisfiedError):
+        gv2.assert_proof(gv2.proof_witness(proof), [36])

@@ -247,3 +247,23 @@ def test_host_ecdsa_roundtrip():
     assert secp256k1.verify(pub, h, sig)
     assert not secp256k1.verify(pub, h, (sig[0], (sig[1] + 1) % secp256k1.N))
     assert not secp256k1.verify(pub, (h + 1) % secp256k1.N, sig)
+
+
+@pytest.mark.slow
+def test_ecdsa_compiles_and_solves():
+    """The emulated-path milestone VERDICT flagged: the ECDSA gadget (two
+    full-width emulated scalar muls + field ops) COMPILED to constraints
+    and solved — not just engine-run (≙ ecdsa_test.go's compiled prove
+    path; the on-chip prove of this system rides the TPU suite)."""
+    import time
+
+    t0 = time.time()
+    cs = compile_circuit(Q, EcdsaCircuit)
+    print(f"ecdsa circuit: {cs.nb_constraints} constraints "
+          f"({time.time()-t0:.1f}s compile)")
+    w = _ecdsa_witness(random.Random(2026))
+    pub, sec = w.witness_values(Q)
+    assert is_satisfied(cs, pub, sec)
+    bad = _ecdsa_witness(random.Random(2026), tamper="r")
+    bpub, bsec = bad.witness_values(Q)
+    assert not is_satisfied(cs, bpub, bsec)

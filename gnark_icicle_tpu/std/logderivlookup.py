@@ -95,16 +95,19 @@ def build_argument(api, table_rows: list, query_rows: list) -> None:
                 acc = api_.add(acc, api_.mul(c, v))
             return acc
 
-        lp = 0
-        for e, row in zip(exps, table_rows):
-            lp = api_.add(
-                lp, api_.div_unchecked(e, api_.sub(challenge, rlc(row)))
-            )
-        rp = 0
-        for row in query_rows:
-            rp = api_.add(
-                rp, api_.inverse(api_.sub(challenge, rlc(row)))
-            )
+        # one variadic merge per side: the incremental version re-copied a
+        # linear expression growing by one hint wire per row — O(rows²)
+        # compile time (the dominant cost of any lookup-heavy circuit)
+        lp_terms = [
+            api_.div_unchecked(e, api_.sub(challenge, rlc(row)))
+            for e, row in zip(exps, table_rows)
+        ]
+        rp_terms = [
+            api_.inverse(api_.sub(challenge, rlc(row)))
+            for row in query_rows
+        ]
+        lp = lp_terms[0] if len(lp_terms) == 1 else api_.add(*lp_terms)
+        rp = rp_terms[0] if len(rp_terms) == 1 else api_.add(*rp_terms)
         api_.assert_is_equal(lp, rp)
 
     multicommit.with_commitment(api, check, *to_commit)

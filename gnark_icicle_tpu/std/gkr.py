@@ -32,10 +32,7 @@ class AddGate:
 
     @staticmethod
     def evaluate(api, *ins):
-        acc = ins[0]
-        for v in ins[1:]:
-            acc = api.add(acc, v)
-        return acc
+        return ins[0] if len(ins) == 1 else api.add(*ins)
 
 
 class MulGate:
@@ -208,15 +205,13 @@ class _WireClaims:
         for t in range(1, D + 1):
             eq_t = _extend(api, self._eq, t)
             tabs_t = [_extend(api, tab, t) for tab in self._tabs]
-            acc = 0
+            terms = []
             for i in range(len(eq_t)):
                 gate_ins = [tabs_t[self._pos[u]][i]
                             for u in self.wire.inputs]
-                acc = api.add(
-                    acc, api.mul(eq_t[i],
-                                 self.wire.gate.evaluate(api, *gate_ins))
-                )
-            out.append(acc)
+                terms.append(api.mul(
+                    eq_t[i], self.wire.gate.evaluate(api, *gate_ins)))
+            out.append(terms[0] if len(terms) == 1 else api.add(*terms))
         return out
 
     def combine(self, comb):

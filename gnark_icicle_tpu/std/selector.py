@@ -14,10 +14,8 @@ def mux(api, sel, *values):
     indicators = [api.is_zero(api.sub(sel, i)) for i in range(len(values))]
     api.assert_is_equal(api.add(*indicators) if len(indicators) > 1
                         else indicators[0], 1)
-    acc = api.mul(indicators[0], values[0])
-    for i in range(1, len(values)):
-        acc = api.add(acc, api.mul(indicators[i], values[i]))
-    return acc
+    terms = [api.mul(ind, v) for ind, v in zip(indicators, values)]
+    return terms[0] if len(terms) == 1 else api.add(*terms)
 
 
 def map_lookup(api, query, keys, values):
@@ -25,14 +23,10 @@ def map_lookup(api, query, keys, values):
     (≙ selector.Map)."""
     assert len(keys) == len(values) and keys
     indicators = [api.is_zero(api.sub(query, k)) for k in keys]
-    total = indicators[0]
-    for ind in indicators[1:]:
-        total = api.add(total, ind)
-    api.assert_is_equal(total, 1)
-    acc = api.mul(indicators[0], values[0])
-    for ind, v in zip(indicators[1:], values[1:]):
-        acc = api.add(acc, api.mul(ind, v))
-    return acc
+    api.assert_is_equal(api.add(*indicators) if len(indicators) > 1
+                        else indicators[0], 1)
+    terms = [api.mul(ind, v) for ind, v in zip(indicators, values)]
+    return terms[0] if len(terms) == 1 else api.add(*terms)
 
 
 def step_mask(api, length, max_len: int):

@@ -291,9 +291,12 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     krs = g1.add(krs, g1.scalar_mul(bs1, r))
     krs = g1.add(krs, g1.scalar_mul(pk.g1_delta, (-r * s) % q))
 
+    import jax as _jax
+
     logger().info(
-        "groth16 prove: curve=%s constraints=%d took=%.3fs (acceleration=tpu)",
+        "groth16 prove: curve=%s constraints=%d took=%.3fs (acceleration=%s)",
         curve.name, cs.nb_constraints, time.perf_counter() - t_start,
+        _jax.default_backend(),
     )  # ≙ icicle.go:412 structured "done" log
     return Proof(ar=ar, krs=krs, bs=bs, commitments=commitment_pts,
                  commitment_pok=commitment_pok)

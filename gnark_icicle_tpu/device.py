@@ -35,12 +35,22 @@ class DeviceCtx:
         self.curve = curve
         self.fp_dev = field_for(curve.fp.modulus)
         self.fr_dev = field_for(curve.fr.modulus)
-        g1_b3 = 3 * curve.g1.b  # int
+        g1_b3 = (3 * curve.g1.b) % curve.fp.modulus  # int
         self.g1_dev = DevCurve(DevField(self.fp_dev), g1_b3)
-        g2_b3 = curve.g2.b * 3  # Fp2
-        self.g2_dev = DevCurve(
-            DevField2(self.fp_dev), (g2_b3.c0, g2_b3.c1)
-        )
+        g2_b = curve.g2.b
+        # G2 lives over Fp2 for embedding-degree-12 curves (BN254/BLS12)
+        # but over Fp itself for BW6-761 (embedding degree 6: the sextic
+        # twist is defined over the base field, curves/bw6_761.py)
+        self._g2_fp2 = hasattr(g2_b, "c0")
+        if self._g2_fp2:
+            g2_b3 = g2_b * 3
+            self.g2_dev = DevCurve(
+                DevField2(self.fp_dev, beta=curve.tower.beta),
+                (g2_b3.c0, g2_b3.c1),
+            )
+        else:
+            g2_b3 = (3 * g2_b) % curve.fp.modulus
+            self.g2_dev = DevCurve(DevField(self.fp_dev), g2_b3)
         bits = curve.fr.modulus.bit_length()
         self.msm_g1 = MSMKernel(self.g1_dev, bits)
         self.msm_g2 = MSMKernel(self.g2_dev, bits)
@@ -65,10 +75,11 @@ class DeviceCtx:
             # sublane slicing makes it ~2x SLOWER than the XLA-fused jnp
             # path — so G2 stays on jnp until the layout is reworked
             # (ROADMAP.md). Opt in for experiments:
-            if os.environ.get("GNARK_TPU_PALLAS_G2", "0") == "1":
+            if (os.environ.get("GNARK_TPU_PALLAS_G2", "0") == "1"
+                    and self._g2_fp2):
                 self.g2_dev.pallas = PallasEC(
                     self.fp_dev, (g2_b3.c0, g2_b3.c1), fp2=True,
-                    interpret=interpret,
+                    interpret=interpret, beta=curve.tower.beta,
                 )
 
         # register only after a fully successful init — a transient device
@@ -104,6 +115,8 @@ class DeviceCtx:
         return self._points(points_host, self.g1_dev, (0, 1))
 
     def g2_points(self, points_host):
+        if not self._g2_fp2:  # BW6-761: G2 coordinates live in Fp
+            return self._points(points_host, self.g2_dev, (0, 1))
         from .curves.tower import Fp2
 
         zero = Fp2.zero(self.curve.tower)
@@ -124,11 +137,11 @@ class DeviceCtx:
         return self.g1_dev.to_affine_host(batched, self.curve.fp.modulus)[0]
 
     def g2_to_host(self, P):
-        from .curves.tower import Fp2
-
         batched = jax.tree.map(lambda a: a[None], P)
         res = self.g2_dev.to_affine_host(batched, self.curve.fp.modulus)[0]
-        if res is None:
-            return None
+        if res is None or not self._g2_fp2:
+            return res
+        from .curves.tower import Fp2
+
         tp = self.curve.tower
         return (Fp2(tp, *res[0]), Fp2(tp, *res[1]))

@@ -76,16 +76,37 @@ class DevField:
         return self.F.decode(arr)
 
 
+def _scale_small(F, x, k: int):
+    """x·k for a small positive int constant via an add chain (Montgomery
+    form is linear, so plain adds preserve the encoding)."""
+    assert k >= 1
+    acc = None
+    run = x
+    for bit in bin(k)[:1:-1]:  # LSB first
+        if bit == "1":
+            acc = run if acc is None else F.add(acc, run)
+        run = F.add(run, run)
+    return acc
+
+
 class DevField2:
-    """Quadratic extension Fp2 = Fp[u]/(u² - beta): elements are (c0, c1)."""
+    """Quadratic extension Fp2 = Fp[u]/(u² − β): elements are (c0, c1).
+
+    β is any small NEGATIVE non-residue (−1 for BN254/BLS12-381, −5 for
+    BLS12-377 — curves/tower.py TowerParams.beta)."""
 
     def __init__(self, F: LimbField, beta: int = -1):
-        if beta != -1:
-            raise NotImplementedError("only u² = -1 towers are used")
+        assert beta < 0, "device Fp2 expects a small negative non-residue"
         self.F = F
+        self.beta = beta
 
     def key(self):
-        return ("fp2", self.F.modulus, self.F.K)
+        return ("fp2", self.F.modulus, self.F.K, self.beta)
+
+    def _beta_term(self, m1):
+        """−β·m1 (β < 0 so this is a positive small multiple)."""
+        F = self.F
+        return m1 if self.beta == -1 else _scale_small(F, m1, -self.beta)
 
     def mul(self, a, b):
         F = self.F
@@ -93,17 +114,22 @@ class DevField2:
         b0, b1 = b
         m0 = F.mont_mul(a0, b0)
         m1 = F.mont_mul(a1, b1)
-        # Karatsuba: c1 = (a0+a1)(b0+b1) - m0 - m1
+        # Karatsuba: c1 = (a0+a1)(b0+b1) - m0 - m1; c0 = m0 + β·m1
         c1 = F.sub(F.mont_mul(F.add(a0, a1), F.add(b0, b1)), F.add(m0, m1))
-        return (F.sub(m0, m1), c1)
+        return (F.sub(m0, self._beta_term(m1)), c1)
 
     def sqr(self, a):
         F = self.F
         a0, a1 = a
-        # (a0+a1)(a0-a1), 2*a0*a1
-        c0 = F.mont_mul(F.add(a0, a1), F.sub(a0, a1))
+        if self.beta == -1:
+            # (a0+a1)(a0-a1), 2*a0*a1
+            c0 = F.mont_mul(F.add(a0, a1), F.sub(a0, a1))
+            t = F.mont_mul(a0, a1)
+            return (c0, F.add(t, t))
+        m0 = F.mont_mul(a0, a0)
+        m1 = F.mont_mul(a1, a1)
         t = F.mont_mul(a0, a1)
-        return (c0, F.add(t, t))
+        return (F.sub(m0, self._beta_term(m1)), F.add(t, t))
 
     def add(self, a, b):
         F = self.F
@@ -339,8 +365,10 @@ class DevCurve:
             if _is0(z):
                 out.append(None)
             else:
-                zi = _inv(z, p_modulus)
-                out.append((_mul(x, zi, p_modulus), _mul(y, zi, p_modulus)))
+                beta = getattr(f, "beta", -1)
+                zi = _inv(z, p_modulus, beta)
+                out.append((_mul(x, zi, p_modulus, beta),
+                            _mul(y, zi, p_modulus, beta)))
         return out
 
 
@@ -348,18 +376,18 @@ def _is0(z):
     return z == 0 if isinstance(z, int) else (z[0] == 0 and z[1] == 0)
 
 
-def _inv(z, p):
+def _inv(z, p, beta=-1):
     if isinstance(z, int):
         return pow(z, -1, p)
-    # Fp2 (c0, c1), beta = -1
+    # Fp2 (c0, c1): 1/z = conj(z)/(c0² − β·c1²)
     c0, c1 = z
-    d = pow((c0 * c0 + c1 * c1) % p, -1, p)
+    d = pow((c0 * c0 - beta * c1 * c1) % p, -1, p)
     return (c0 * d % p, -c1 * d % p)
 
 
-def _mul(a, b, p):
+def _mul(a, b, p, beta=-1):
     if isinstance(a, int) and isinstance(b, int):
         return a * b % p
     a0, a1 = a if isinstance(a, tuple) else (a, 0)
     b0, b1 = b if isinstance(b, tuple) else (b, 0)
-    return ((a0 * b0 - a1 * b1) % p, (a0 * b1 + a1 * b0) % p)
+    return ((a0 * b0 + beta * a1 * b1) % p, (a0 * b1 + a1 * b0) % p)

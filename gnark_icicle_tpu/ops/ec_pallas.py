@@ -203,10 +203,25 @@ class _TileFieldMXU(_TileField):
 
 
 class _TileField2:
-    """Fp2 on pairs of tiles (u² = −1), mirroring ops/ec.DevField2."""
+    """Fp2 on pairs of tiles (u² = β, small negative β), mirroring
+    ops/ec.DevField2."""
 
-    def __init__(self, base: _TileField):
+    def __init__(self, base: _TileField, beta: int = -1):
+        assert beta < 0
         self.f = base
+        self.beta = beta
+
+    def _beta_term(self, m1):
+        f = self.f
+        if self.beta == -1:
+            return m1
+        acc = None
+        run = m1
+        for bit in bin(-self.beta)[:1:-1]:
+            if bit == "1":
+                acc = run if acc is None else f.add(acc, run)
+            run = f.add(run, run)
+        return acc
 
     def mul(self, a, b):
         f = self.f
@@ -215,11 +230,16 @@ class _TileField2:
         m0 = f.mul(a0, b0)
         m1 = f.mul(a1, b1)
         c1 = f.sub(f.mul(f.add(a0, a1), f.add(b0, b1)), f.add(m0, m1))
-        return (f.sub(m0, m1), c1)
+        return (f.sub(m0, self._beta_term(m1)), c1)
 
     def sqr(self, a):
         f = self.f
         a0, a1 = a
+        if self.beta != -1:
+            m0 = f.mul(a0, a0)
+            m1 = f.mul(a1, a1)
+            t = f.mul(a0, a1)
+            return (f.sub(m0, self._beta_term(m1)), f.add(t, t))
         c0 = f.mul(f.add(a0, a1), f.sub(a0, a1))
         t = f.mul(a0, a1)
         return (c0, f.add(t, t))
@@ -327,7 +347,7 @@ class PallasEC:
     _cache: dict = {}
 
     def __new__(cls, F: LimbField, b3_host, fp2: bool = False,
-                interpret: bool = False):
+                interpret: bool = False, beta: int = -1):
         import os
 
         # default ON for G1 after on-chip validation: bit-exact and
@@ -336,7 +356,7 @@ class PallasEC:
         mxu = (not fp2) and os.environ.get(
             "GNARK_TPU_PALLAS_MXU", "1"
         ) == "1"
-        key = (F.modulus, F.K, repr(b3_host), fp2, interpret, mxu)
+        key = (F.modulus, F.K, repr(b3_host), fp2, interpret, mxu, beta)
         if key in cls._cache:
             return cls._cache[key]
         self = super().__new__(cls)
@@ -345,7 +365,7 @@ class PallasEC:
         return self
 
     def __init__(self, F: LimbField, b3_host, fp2: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, beta: int = -1):
         if getattr(self, "_initialized", False):
             return
         self._initialized = True
@@ -355,7 +375,7 @@ class PallasEC:
         self.interpret = interpret
         self.mxu = getattr(self, "_mxu", False)
         base = _TileFieldMXU(F) if self.mxu else _TileField(F)
-        self.tf = _TileField2(base) if fp2 else base
+        self.tf = _TileField2(base, beta) if fp2 else base
         if fp2:
             c0 = np.asarray(int_to_limbs(
                 b3_host[0] * pow(F.R, 1, F.modulus) % F.modulus, F.K), np.int32)

@@ -22,8 +22,21 @@ class E2:
 
     def __init__(self, fp: EmulatedField, beta: int = -1, xi=(9, 1)):
         self.fp = fp
-        self.beta = beta % fp.p  # u² = β
-        self.xi = xi             # cubic non-residue ξ = xi[0] + xi[1]·u
+        self.beta = beta % fp.p    # u² = β (reduced)
+        self.beta_signed = beta    # signed form: cheap ±small scaling
+        self.xi = xi               # cubic non-residue ξ = xi[0] + xi[1]·u
+
+    def _smul(self, x, c: int):
+        """x·c for a small SIGNED int constant."""
+        fp = self.fp
+        if c == 0:
+            return fp.constant(0)
+        neg = c < 0
+        c = abs(c)
+        out = x if c == 1 else (
+            fp.mul_small(x, c) if c < 256 else fp.mul(x, fp.constant(c))
+        )
+        return fp.neg(out) if neg else out
 
     def zero(self):
         return (self.fp.constant(0), self.fp.constant(0))
@@ -57,8 +70,8 @@ class E2:
         return (c0, c1)
 
     def _mul_beta(self, x):
-        if self.beta == self.fp.p - 1:  # β = −1 (both our curves)
-            return self.fp.neg(x)
+        if -256 < self.beta_signed < 256:
+            return self._smul(x, self.beta_signed)
         return self.fp.mul(x, self.fp.constant(self.beta))
 
     def square(self, a):
@@ -71,13 +84,15 @@ class E2:
         return self.mul(a, a)
 
     def mul_by_nonresidue(self, a):
-        """a·ξ where ξ = xi0 + xi1·u (≙ MulByNonResidue)."""
+        """a·ξ where ξ = xi0 + xi1·u, u² = β — general small-constant
+        form: c0 = xi0·a0 + β·xi1·a1, c1 = xi1·a0 + xi0·a1
+        (≙ MulByNonResidue; covers BN254/BLS12-381 ξ=9+u, β=−1 and
+        BLS12-377 ξ=u, β=−5)."""
         fp = self.fp
         xi0, xi1 = self.xi
-        c0 = fp.sub(fp.mul_small(a[0], xi0), fp.mul_small(a[1], xi1)) \
-            if self.beta == fp.p - 1 else None
-        assert c0 is not None, "only β=−1 towers supported"
-        c1 = fp.add(fp.mul_small(a[0], xi1), fp.mul_small(a[1], xi0))
+        c0 = fp.add(self._smul(a[0], xi0),
+                    self._smul(a[1], self.beta_signed * xi1))
+        c1 = fp.add(self._smul(a[0], xi1), self._smul(a[1], xi0))
         return (c0, c1)
 
     def inverse(self, a):
@@ -91,6 +106,10 @@ class E2:
     def assert_equal(self, a, b):
         self.fp.assert_equal(a[0], b[0])
         self.fp.assert_equal(a[1], b[1])
+
+    def select(self, cond, t, f):
+        return (self.fp.select(cond, t[0], f[0]),
+                self.fp.select(cond, t[1], f[1]))
 
 
 class E6:

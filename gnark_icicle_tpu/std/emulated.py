@@ -697,17 +697,26 @@ class EmulatedField:
             out.extend(self.api.to_binary(limb, self.w))
         return out
 
-    def from_native(self, v) -> Element:
+    def from_native(self, v, n_bits: int | None = None) -> Element:
         """Bind a NATIVE circuit variable to an emulated element of this
         field (≙ emulated.Field.NewElement over a frontend.Variable — the
         recursion verifiers' bridge from native public inputs to emulated
-        scalars). Requires p ≥ q so every native value has a canonical
-        representation; the full-width bit decomposition plus the canonical
-        check pins the unique encoding (the +q alias of small values would
-        fail assert_canonical when p == q, and cannot fit when p > q)."""
-        assert self.p >= self.q, "native field does not embed in this field"
+        scalars). By default requires p ≥ q so every native value has a
+        canonical representation; the full-width bit decomposition plus the
+        canonical check pins the unique encoding (the +q alias of small
+        values would fail assert_canonical when p == q, and cannot fit
+        when p > q). n_bits overrides the decomposition width for values
+        KNOWN to be < 2^n_bits ≤ p even when the native field is larger
+        (e.g. 64-bit transcript limbs inside a 377-bit BW6-761 circuit) —
+        the n_bits decomposition is itself the range proof."""
+        if n_bits is None:
+            assert self.p >= self.q, \
+                "native field does not embed in this field"
+            n = self.q.bit_length()
+        else:
+            assert (1 << n_bits) <= self.p
+            n = n_bits
         api = self.api
-        n = self.q.bit_length()
         bits = api.to_binary(v, n)
         bits = bits + [0] * (self.k * self.w - n)
         limbs = [

@@ -98,6 +98,37 @@ _PARAMS = {
 _CONST_CACHE: dict = {}
 
 
+# Per-field cipher parameters (exponent, rounds) matching gnark-crypto's
+# per-curve mimc packages (std/hash/mimc/encrypt.go: encryptPow5 for
+# BN254/BLS12-381/BW6-761, encryptPow17 for BLS12-377). The exponent MUST
+# be coprime to r-1 for x^d to be a permutation — over BLS12-377's fr,
+# gcd(5, r-1) = 5, so x^5 is NOT a cipher there. Rounds follow
+# ceil(log2 r / log2 d) like the reference (110/111/62/163).
+_FIELD_PARAMS = {
+    # bn254.r
+    21888242871839275222246405745257275088548364400416034343698204186575808495617: (5, 110),
+    # bls12-381.r
+    0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001: (5, 111),
+    # bls12-377.r
+    8444461749428370424248824938781546531375899335154063827935233455917409239041: (17, 62),
+    # bw6-761.r
+    258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177: (5, 163),
+}
+
+
+def mimc_params(modulus: int) -> tuple:
+    """(exponent, rounds) for a field — table hit or the generic rule:
+    smallest d in (5, 7, 17) coprime to r-1, rounds = ceil(bits/log2 d)."""
+    if modulus in _FIELD_PARAMS:
+        return _FIELD_PARAMS[modulus]
+    import math
+    for d in (5, 7, 17):
+        if math.gcd(d, modulus - 1) == 1:
+            rounds = math.ceil(modulus.bit_length() / math.log2(d))
+            return (d, rounds)
+    raise ValueError("no suitable MiMC exponent for this field")
+
+
 def mimc_constants(modulus: int, nb_rounds: int = 110,
                    seed: bytes = b"seed") -> list:
     key = (modulus, nb_rounds, seed)
@@ -118,10 +149,13 @@ def mimc_constants(modulus: int, nb_rounds: int = 110,
 class MiMCHost:
     """Host MiMC over fr: Miyaguchi–Preneel chaining of the x^5 cipher."""
 
-    def __init__(self, modulus: int, nb_rounds: int = 110, exponent: int = 5):
+    def __init__(self, modulus: int, nb_rounds: int | None = None,
+                 exponent: int | None = None):
         self.q = modulus
-        self.constants = mimc_constants(modulus, nb_rounds)
-        self.e = exponent
+        d, r = mimc_params(modulus)
+        self.e = exponent if exponent is not None else d
+        self.constants = mimc_constants(
+            modulus, nb_rounds if nb_rounds is not None else r)
         self.h = 0
 
     def reset(self):
@@ -158,9 +192,12 @@ def mimc_hash(modulus: int, values) -> int:
 class MiMC:
     """In-circuit MiMC (Write/Reset/Sum like the reference gadget)."""
 
-    def __init__(self, api, modulus: int, nb_rounds: int = 110):
+    def __init__(self, api, modulus: int, nb_rounds: int | None = None):
         self.api = api
-        self.constants = mimc_constants(modulus, nb_rounds)
+        d, r = mimc_params(modulus)
+        self.e = d
+        self.constants = mimc_constants(
+            modulus, nb_rounds if nb_rounds is not None else r)
         self.h = 0  # frontend value
         self.data = []
 
@@ -171,17 +208,21 @@ class MiMC:
         self.data = []
         self.h = 0
 
-    def _pow5(self, x):
+    def _pow_d(self, x):
+        """x^d by square-multiply (d = 5: 3 muls; d = 17: 5 muls)."""
         api = self.api
-        r = api.mul(x, x)
-        r = api.mul(r, r)
-        return api.mul(r, x)
+        acc = x
+        for bit in bin(self.e)[3:]:
+            acc = api.mul(acc, acc)
+            if bit == "1":
+                acc = api.mul(acc, x)
+        return acc
 
     def _encrypt(self, m):
         api = self.api
         x = m
         for c in self.constants:
-            x = self._pow5(api.add(x, self.h, c))
+            x = self._pow_d(api.add(x, self.h, c))
         return api.add(x, self.h)
 
     def sum(self):
@@ -203,11 +244,14 @@ class EmulatedMiMC:
     ``fs_hash="mimc"`` Fiat-Shamir challenges (cross-curve recursion,
     reference std/recursion/plonk with sw_bls12381)."""
 
-    def __init__(self, fp, nb_rounds: int = 110):
+    def __init__(self, fp, nb_rounds: int | None = None):
         """fp: EmulatedField for the INNER scalar field."""
         self.fp = fp
+        d, r = mimc_params(fp.p)
+        self.e = d
         self.constants = [
-            fp.constant(c) for c in mimc_constants(fp.p, nb_rounds)
+            fp.constant(c) for c in mimc_constants(
+                fp.p, nb_rounds if nb_rounds is not None else r)
         ]
         self.h = fp.constant(0)
         self.data = []
@@ -219,17 +263,20 @@ class EmulatedMiMC:
         self.data = []
         self.h = self.fp.constant(0)
 
-    def _pow5(self, x):
+    def _pow_d(self, x):
         fp = self.fp
-        r = fp.mul(x, x)
-        r = fp.mul(r, r)
-        return fp.mul(r, x)
+        acc = x
+        for bit in bin(self.e)[3:]:
+            acc = fp.mul(acc, acc)
+            if bit == "1":
+                acc = fp.mul(acc, x)
+        return acc
 
     def _encrypt(self, m):
         fp = self.fp
         x = m
         for c in self.constants:
-            x = self._pow5(fp.add(fp.add(x, self.h), c))
+            x = self._pow_d(fp.add(fp.add(x, self.h), c))
         return fp.add(x, self.h)
 
     def sum(self):

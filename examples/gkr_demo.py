@@ -65,6 +65,56 @@ def main():
     except Exception:
         print("tampered input rejected")
 
+    groth16_pipeline()
+
+
+def groth16_pipeline():
+    """The standard compile→setup→prove→verify path with api-level GKR (≙
+    reference constraint/bn254/gkr.go integration: the GKR sub-proof is
+    produced by solver hints and verified inside the SNARK circuit — no
+    manual proof plumbing)."""
+    from gnark_icicle_tpu.backend import groth16
+    from gnark_icicle_tpu.frontend import (
+        Circuit as FrontCircuit, Public, Secret, compile_circuit,
+    )
+    from gnark_icicle_tpu.std.gkr import GkrApi
+
+    n = 4  # instances inside the SNARK (kept small: in-circuit verify cost)
+
+    class GkrInside(FrontCircuit):
+        a = Secret(shape=n)
+        b = Secret(shape=n)
+        want = Public(shape=n)
+
+        def define(self, api):
+            g = GkrApi()
+            wa = g.import_(list(self.a))
+            wb = g.import_(list(self.b))
+            out = g.add(g.mul(wa, wb), wa)  # a·b + a per instance
+            sol = g.solve(api)
+            for o, w in zip(sol.export(out), self.want):
+                api.assert_is_equal(o, w)
+            sol.verify()  # GKR sumcheck proof checked in-circuit
+
+    rng = random.Random(7)
+    A = [rng.randrange(Q) for _ in range(n)]
+    B = [rng.randrange(Q) for _ in range(n)]
+    W = [(a * b + a) % Q for a, b in zip(A, B)]
+
+    t0 = time.time()
+    cs = compile_circuit(Q, GkrInside)
+    print(f"compiled GKR circuit: {cs.nb_constraints} constraints "
+          f"({time.time()-t0:.2f}s)")
+    pk, vk = groth16.setup(cs, bn254.BN254, rng=random.Random(1))
+    w = GkrInside(a=A, b=B, want=W)
+    pub, sec = w.witness_values(Q)
+    t0 = time.time()
+    proof = groth16.prove(cs, pk, pub, sec, bn254.BN254,
+                          rng=random.Random(2))
+    print(f"proved in {time.time()-t0:.2f}s")
+    groth16.verify(proof, vk, pub, bn254.BN254)
+    print("Groth16 proof of GKR-verified computation: OK")
+
 
 if __name__ == "__main__":
     main()

@@ -209,3 +209,49 @@ def test_gkr_api_end_to_end():
     bad = GkrApiCircuit(a=A, b=B, want=[(x + 1) % Q for x in W])
     bpub, bsec = bad.witness_values(Q)
     assert not is_satisfied(cs, bpub, bsec)
+
+
+def test_gkr_groth16_pipeline_integration():
+    """VERDICT item 8 (≙ constraint/bn254/gkr.go integration): api-level
+    GkrApi inside a standard circuit — the solver hints produce the GKR
+    sumcheck proof, the compiled constraints verify it, tampered outputs
+    are rejected. Device-free (compile+solve); the full prove of this
+    exact circuit is examples/gkr_demo.py groth16_pipeline."""
+    import random
+
+    from gnark_icicle_tpu.constraint.solver import (
+        UnsatisfiedConstraintError, solve,
+    )
+    from gnark_icicle_tpu.frontend import (
+        Circuit, Public, Secret, compile_circuit,
+    )
+    from gnark_icicle_tpu.std.gkr import GkrApi
+
+    n = 4
+
+    class GkrInside(Circuit):
+        a = Secret(shape=n)
+        b = Secret(shape=n)
+        want = Public(shape=n)
+
+        def define(self, api):
+            g = GkrApi()
+            wa = g.import_(list(self.a))
+            wb = g.import_(list(self.b))
+            out = g.add(g.mul(wa, wb), wa)
+            sol = g.solve(api)
+            for o, w in zip(sol.export(out), self.want):
+                api.assert_is_equal(o, w)
+            sol.verify()
+
+    rng = random.Random(7)
+    A = [rng.randrange(Q) for _ in range(n)]
+    B = [rng.randrange(Q) for _ in range(n)]
+    W = [(a * b + a) % Q for a, b in zip(A, B)]
+    cs = compile_circuit(Q, GkrInside)
+    pub, sec = GkrInside(a=A, b=B, want=W).witness_values(Q)
+    solve(cs, pub, sec)
+    bad = GkrInside(a=A, b=B, want=[(x + 1) % Q for x in W])
+    bpub, bsec = bad.witness_values(Q)
+    with pytest.raises(UnsatisfiedConstraintError):
+        solve(cs, bpub, bsec)

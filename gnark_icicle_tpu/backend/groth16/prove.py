@@ -115,11 +115,16 @@ class _Checkpoint:
 
 
 def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
-          rng=None, checkpoint_dir: str | None = None) -> Proof:
+          rng=None, checkpoint_dir: str | None = None,
+          engine: str = "device") -> Proof:
     """Generate a Groth16 proof (≙ groth16.Prove, icicle path).
 
     checkpoint_dir: if set, persist each prover stage (solve, H, MSMs) so a
     preempted run resumes from the last completed stage.
+    engine: "device" (TPU kernels — production sizes) or "host" (pure
+    big-int computeH + MSM, ≙ the reference's non-accelerated prover:
+    zero compile/dispatch overhead, right for small systems and
+    accelerator-less environments).
     """
     import time
 
@@ -127,7 +132,8 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
 
     t_start = time.perf_counter()
     q = curve.fr.modulus
-    ctx = DeviceCtx(curve)
+    assert engine in ("device", "host")
+    ctx = DeviceCtx(curve) if engine == "device" else None
     rand = rng.randrange if rng is not None else (
         lambda m: secrets.randbelow(m - 1) + 1
     )
@@ -212,6 +218,35 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     log_n = pk.domain_log_n
     n = 1 << log_n
 
+    if engine == "host":
+        from .host_compute import compute_h_host, msm_host, \
+            z_scalars_bitreversed
+
+        h = compute_h_host(res.a, res.b, res.c, log_n, curve.fr)
+        wires_i = res.wires
+        if cs.commitments:
+            excluded = {c.commitment_index for c in cs.commitments}
+            for c in cs.commitments:
+                excluded.update(c.private_committed)
+            priv_i = [wires_i[w] for w in range(cs.nb_public, len(wires_i))
+                      if w not in excluded]
+        else:
+            priv_i = wires_i[cs.nb_public:]
+        g1h, g2h = curve.g1, curve.g2
+        ar_msm = msm_host(g1h, pk.g1_a, wires_i)
+        bs1_msm = msm_host(g1h, pk.g1_b, wires_i)
+        bs2_msm = msm_host(g2h, pk.g2_b, wires_i)
+        krs_msm = []
+        if priv_i:
+            krs_msm.append(msm_host(g1h, pk.g1_k, priv_i))
+        krs_msm.append(msm_host(
+            g1h, pk.g1_z,
+            z_scalars_bitreversed(h, log_n, len(pk.g1_z))))
+        return _assemble_proof(
+            cs, pk, curve, q, rand, ar_msm, bs1_msm, bs2_msm, krs_msm,
+            commitment_pts, commitment_pok, logger, t_start, "host",
+        )
+
     # --- device phase (limb arrays straight from the solver — no host
     # bigint conversions on the hot path) ----------------------------------
     h_scalars = ck.load("h") if ck is not None else None
@@ -271,8 +306,22 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
             ck.save("msms", msms)
     ar_msm, bs1_msm, bs2_msm, krs_msm = msms
 
-    # --- host blinding (r, s — toxic randomness stays host-side; always
-    # fresh, so resumed proofs remain randomized) --------------------------
+    import jax as _jax
+
+    return _assemble_proof(
+        cs, pk, curve, q, rand, ar_msm, bs1_msm, bs2_msm, krs_msm,
+        commitment_pts, commitment_pok, logger, t_start,
+        _jax.default_backend(),
+    )
+
+
+def _assemble_proof(cs, pk, curve, q, rand, ar_msm, bs1_msm, bs2_msm,
+                    krs_msm, commitment_pts, commitment_pok, logger,
+                    t_start, backend_name):
+    """Blinding + final point assembly (host side for BOTH engines;
+    toxic randomness r, s never leaves the host)."""
+    import time
+
     g1, g2 = curve.g1, curve.g2
     r = rand(q)
     s = rand(q)
@@ -291,12 +340,10 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     krs = g1.add(krs, g1.scalar_mul(bs1, r))
     krs = g1.add(krs, g1.scalar_mul(pk.g1_delta, (-r * s) % q))
 
-    import jax as _jax
-
     logger().info(
         "groth16 prove: curve=%s constraints=%d took=%.3fs (acceleration=%s)",
         curve.name, cs.nb_constraints, time.perf_counter() - t_start,
-        _jax.default_backend(),
+        backend_name,
     )  # ≙ icicle.go:412 structured "done" log
     return Proof(ar=ar, krs=krs, bs=bs, commitments=commitment_pts,
                  commitment_pok=commitment_pok)

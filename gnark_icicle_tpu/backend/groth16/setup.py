@@ -72,7 +72,7 @@ def _batch_inv(xs, q):
     return out
 
 
-def setup(cs: R1CS, curve, rng=None):
+def setup(cs: R1CS, curve, rng=None, engine: str = "auto"):
     """(ProvingKey, VerifyingKey) for a compiled R1CS (≙ groth16.Setup)."""
     q = curve.fr.modulus
     assert q == cs.q, "constraint system field != curve scalar field"
@@ -139,24 +139,35 @@ def setup(cs: R1CS, curve, rng=None):
 
     # batch scalar-muls ride the device fixed-base kernel above a size
     # threshold (≙ BatchScalarMultiplicationG1/G2, setup.go:251,320)
-    from ...device import DeviceCtx
     from ...ops.fixed_base import batch_scalar_mul_host
 
-    ctx = DeviceCtx(curve)
     bits = q.bit_length()
+    _ctx = []  # device context built lazily: small setups stay device-free
 
+    def ctx():
+        if not _ctx:
+            from ...device import DeviceCtx
+
+            _ctx.append(DeviceCtx(curve))
+        return _ctx[0]
+
+    # engine="host" forces the pure big-int path for ANY size (the
+    # reference's non-accelerated BatchScalarMultiplication role);
+    # "auto"/"device" ride the device fixed-base kernel above a threshold
     def batch_g1(scalars):
-        if len(scalars) < 256:
+        if engine == "host" or len(scalars) < 256:
             return [mul_g1(s) for s in scalars]
+        c = ctx()
         return batch_scalar_mul_host(
-            ctx.g1_dev, g1, ctx.fr_scalars, G1, scalars, bits
+            c.g1_dev, g1, c.fr_scalars, G1, scalars, bits
         )
 
     def batch_g2(scalars):
-        if len(scalars) < 256:
+        if engine == "host" or len(scalars) < 256:
             return [mul_g2(s) for s in scalars]
+        c = ctx()
         return batch_scalar_mul_host(
-            ctx.g2_dev, g2, ctx.fr_scalars, G2, scalars, bits
+            c.g2_dev, g2, c.fr_scalars, G2, scalars, bits
         )
 
     # Pedersen commitment keys (≙ setup.go:294-305: per-commitment

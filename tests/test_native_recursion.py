@@ -155,10 +155,13 @@ def inner_proof_377():
     from circuits import Cubic
 
     cs = compile_circuit(b377.R, Cubic)
-    pk, vk = groth16.setup(cs, b377.BLS12_377, rng=random.Random(2024))
+    # host engine: tiny proof, no device warmup (engine=host is itself
+    # e2e-validated; the device path is covered by the main e2e suites)
+    pk, vk = groth16.setup(cs, b377.BLS12_377, rng=random.Random(2024),
+                           engine="host")
     pub, sec = [35], [3]
     proof = groth16.prove(cs, pk, pub, sec, b377.BLS12_377,
-                          rng=random.Random(7))
+                          rng=random.Random(7), engine="host")
     groth16.verify(proof, vk, pub, b377.BLS12_377)
     return vk, proof, pub
 

@@ -21,9 +21,13 @@ CURVE = bn254.BN254
 @pytest.fixture(scope="module")
 def inner_proof():
     cs = compile_circuit(Q, Cubic)
-    pk, vk = groth16.setup(cs, CURVE, rng=random.Random(2024))
+    # host engine: tiny proofs with no device warmup (engine=host is
+    # itself e2e-validated; device proving is covered by the main suites)
+    pk, vk = groth16.setup(cs, CURVE, rng=random.Random(2024),
+                           engine="host")
     pub, sec = [35], [3]
-    proof = groth16.prove(cs, pk, pub, sec, CURVE, rng=random.Random(7))
+    proof = groth16.prove(cs, pk, pub, sec, CURVE, rng=random.Random(7),
+                          engine="host")
     groth16.verify(proof, vk, pub, CURVE)
     return vk, proof, pub
 
@@ -63,10 +67,11 @@ def inner_proof_381():
     from gnark_icicle_tpu.curves import bls12_381 as b381
 
     cs = compile_circuit(b381.R, Cubic)
-    pk, vk = groth16.setup(cs, b381.BLS12_381, rng=random.Random(2025))
+    pk, vk = groth16.setup(cs, b381.BLS12_381, rng=random.Random(2025),
+                           engine="host")
     pub, sec = [35], [3]
     proof = groth16.prove(cs, pk, pub, sec, b381.BLS12_381,
-                          rng=random.Random(8))
+                          rng=random.Random(8), engine="host")
     groth16.verify(proof, vk, pub, b381.BLS12_381)
     return vk, proof, pub
 
@@ -118,10 +123,11 @@ def inner_proof_bw6():
     from gnark_icicle_tpu.curves import bw6_761 as bw6
 
     cs = compile_circuit(bw6.R, Cubic)
-    pk, vk = groth16.setup(cs, bw6.BW6_761, rng=random.Random(2027))
+    pk, vk = groth16.setup(cs, bw6.BW6_761, rng=random.Random(2027),
+                           engine="host")
     pub, sec = [35], [3]
     proof = groth16.prove(cs, pk, pub, sec, bw6.BW6_761,
-                          rng=random.Random(9))
+                          rng=random.Random(9), engine="host")
     groth16.verify(proof, vk, pub, bw6.BW6_761)
     return vk, proof, pub
 

@@ -256,7 +256,8 @@ def test_outer_bw6_proof_of_inner_verification(inner_proof_377):
             gv.assert_proof(w, [self.inner_pub])
 
     cs = compile_circuit(b377.P, OuterG16)  # BW6-761's scalar field
-    pk, ovk = groth16.setup(cs, bw6.BW6_761, rng=random.Random(5))
+    pk, ovk = groth16.setup(cs, bw6.BW6_761, rng=random.Random(5),
+                            engine="host")
     w = OuterG16(
         inner_pub=pub[0],
         pr=[proof.ar[0], proof.ar[1],
@@ -265,7 +266,7 @@ def test_outer_bw6_proof_of_inner_verification(inner_proof_377):
     )
     opub, osec = w.witness_values(b377.P)
     oproof = groth16.prove(cs, pk, opub, osec, bw6.BW6_761,
-                           rng=random.Random(6))
+                           rng=random.Random(6), engine="host")
     groth16.verify(oproof, ovk, opub, bw6.BW6_761)
     # tampered inner public input must make the outer statement false
     from gnark_icicle_tpu.backend.groth16.verify import VerificationError

@@ -35,7 +35,8 @@ class SRS:
         return self._device[n]
 
 
-def unsafe_srs(curve, size: int, tau: int | None = None, rng=None) -> SRS:
+def unsafe_srs(curve, size: int, tau: int | None = None, rng=None,
+               engine: str = "auto") -> SRS:
     """Insecure SRS for tests/benchmarks (≙ test/unsafekzg, kzgsrs.go:64).
 
     Knowing tau lets the host build the power list in O(n) field ops + n
@@ -50,7 +51,7 @@ def unsafe_srs(curve, size: int, tau: int | None = None, rng=None) -> SRS:
     for _ in range(size):
         scalars.append(acc)
         acc = acc * tau % q
-    if size >= 256:  # device fixed-base batch (≙ kzgsrs.go SRS build)
+    if engine != "host" and size >= 256:  # device fixed-base batch
         from .. import device as _device
         from ..ops.fixed_base import batch_scalar_mul_host
 

@@ -166,10 +166,13 @@ def _quotient_device(ctx, dom4, ev, n, beta, gamma, alpha, k1, k2, g, eta, q):
 
 def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
           curve, rng=None, checkpoint_dir: str | None = None,
-          fs_hash: str = "sha256") -> Proof:
+          fs_hash: str = "sha256", engine: str = "device") -> Proof:
     """PLONK prove; checkpoint_dir persists the expensive stages (witness
     solve, round-1 wire commitments incl. their blinding, permutation Z,
-    quotient) so a preempted run resumes — same scheme as groth16.prove."""
+    quotient) so a preempted run resumes — same scheme as groth16.prove.
+    engine: "device" (TPU kernels) or "host" (pure big-int NTT/quotient/
+    KZG — ≙ the reference's non-accelerated prover; zero warmup, right
+    for small systems)."""
     q = curve.fr.modulus
     rand = rng.randrange if rng is not None else (
         lambda m: secrets.randbelow(m - 1) + 1
@@ -192,24 +195,40 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             + b"".join(int(v % q).to_bytes(32, "big") for v in secret_values)
         ).digest()
         ck = _Checkpoint(checkpoint_dir, binding)
-    ctx = DeviceCtx(curve)
+    assert engine in ("device", "host")
     log_n = pk.log_n
     n = 1 << log_n
-    dom = ctx.domain(log_n)
-    dom4 = ctx.domain(log_n + 2, coset=True)
-    kzg = KZG(curve, pk.srs)
-    F = ctx.fr_dev
     omega = curve.fr.root_of_unity(log_n)
     k1, k2 = pk.k1, pk.k2
+    if engine == "host":
+        from .host_engine import HostKZG, coset_ntt_host, intt_host
 
-    def evals_to_coeffs(evals):
-        return F.decode(np.asarray(dom.intt(ctx.fr_mont(evals))))
+        ctx = dom = dom4 = F = None
+        kzg = HostKZG(curve, pk.srs)
 
-    def coset4_evals_dev(coeffs):
-        """host coeffs -> DEVICE Montgomery evals on the 4n coset."""
-        padded = list(coeffs) + [0] * (4 * n - len(coeffs))
-        assert len(padded) == 4 * n, "degree exceeds 4n"
-        return dom4.coset_ntt_nat(ctx.fr_mont(padded))
+        def evals_to_coeffs(evals):
+            return intt_host(evals, log_n, curve.fr)
+
+        def coset4_evals_dev(coeffs):
+            return coset_ntt_host(
+                coeffs, log_n + 2, curve.fr,
+                curve.fr.multiplicative_generator,
+            )
+    else:
+        ctx = DeviceCtx(curve)
+        dom = ctx.domain(log_n)
+        dom4 = ctx.domain(log_n + 2, coset=True)
+        kzg = KZG(curve, pk.srs)
+        F = ctx.fr_dev
+
+        def evals_to_coeffs(evals):
+            return F.decode(np.asarray(dom.intt(ctx.fr_mont(evals))))
+
+        def coset4_evals_dev(coeffs):
+            """host coeffs -> DEVICE Montgomery evals on the 4n coset."""
+            padded = list(coeffs) + [0] * (4 * n - len(coeffs))
+            assert len(padded) == 4 * n, "degree exceeds 4n"
+            return dom4.coset_ntt_nat(ctx.fr_mont(padded))
 
     # ---- stage 1: solve + wire polynomials --------------------------------
     # BSB22 override: the placeholder hint becomes a KZG commitment to the
@@ -357,23 +376,36 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         for i in range(len(commitment_info)):
             ev[f"qcp{i}"] = coset4_evals_dev(pk.trace_coeffs[f"qcp{i}"])
             ev[f"pi2_{i}"] = coset4_evals_dev(pi2_coeffs[i])
-        t_mont = _quotient_device(
-            ctx, dom4, ev, n, beta, gamma, alpha, k1, k2,
-            curve.fr.multiplicative_generator,
-            curve.fr.root_of_unity(log_n + 2), q,
-        )
-        t_coeffs = F.decode(np.asarray(t_mont))
-        # T has degree ≤ 3n+5; split into 3 shards of n+2
-        t1 = t_coeffs[:shard]
-        t2 = t_coeffs[shard : 2 * shard]
-        t3 = t_coeffs[2 * shard : 3 * shard]
-        for c in t_coeffs[3 * shard :]:
-            assert c == 0, "quotient degree overflow — identity violated"
-        h_coms = (
-            kzg.commit_mont(t_mont[:shard]),
-            kzg.commit_mont(t_mont[shard : 2 * shard]),
-            kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
-        )
+        if engine == "host":
+            from .host_engine import quotient_host
+
+            t_coeffs = quotient_host(
+                ev, n, beta, gamma, alpha, k1, k2, curve.fr
+            )
+            t1 = t_coeffs[:shard]
+            t2 = t_coeffs[shard : 2 * shard]
+            t3 = t_coeffs[2 * shard : 3 * shard]
+            for c in t_coeffs[3 * shard :]:
+                assert c == 0, "quotient degree overflow"
+            h_coms = (kzg.commit(t1), kzg.commit(t2), kzg.commit(t3))
+        else:
+            t_mont = _quotient_device(
+                ctx, dom4, ev, n, beta, gamma, alpha, k1, k2,
+                curve.fr.multiplicative_generator,
+                curve.fr.root_of_unity(log_n + 2), q,
+            )
+            t_coeffs = F.decode(np.asarray(t_mont))
+            # T has degree ≤ 3n+5; split into 3 shards of n+2
+            t1 = t_coeffs[:shard]
+            t2 = t_coeffs[shard : 2 * shard]
+            t3 = t_coeffs[2 * shard : 3 * shard]
+            for c in t_coeffs[3 * shard :]:
+                assert c == 0, "quotient degree overflow — identity violated"
+            h_coms = (
+                kzg.commit_mont(t_mont[:shard]),
+                kzg.commit_mont(t_mont[shard : 2 * shard]),
+                kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
+            )
         if ck is not None:
             ck.save("quotient", (t1, t2, t3, h_coms))
     for cm in h_coms:

@@ -57,7 +57,8 @@ def build_permutation(cs: SparseR1CS, n: int):
 
 
 def setup(cs: SparseR1CS, curve, srs: SRS | None = None, rng=None,
-          k1: int | None = None, k2: int | None = None):
+          k1: int | None = None, k2: int | None = None,
+          engine: str = "device"):
     """(ProvingKey, VerifyingKey). srs defaults to an unsafe test SRS
     (≙ plonk.Setup(ccs, srs, srsLagrange) with test/unsafekzg)."""
     q = curve.fr.modulus
@@ -65,7 +66,7 @@ def setup(cs: SparseR1CS, curve, srs: SRS | None = None, rng=None,
     log_n = max(_next_pow2_log(max(cs.nb_gates, 2)), 3)  # quotient shards need n >= 8
     n = 1 << log_n
     if srs is None:
-        srs = unsafe_srs(curve, n + 5, rng=rng)
+        srs = unsafe_srs(curve, n + 5, rng=rng, engine=engine)
     # coset shifts: gnark uses 5 (the fr generator) per vanilla-PLONK; any
     # pair with H, k1H, k2H pairwise disjoint works
     g = curve.fr.multiplicative_generator
@@ -105,17 +106,26 @@ def setup(cs: SparseR1CS, curve, srs: SRS | None = None, rng=None,
             pos_value(int(sigma[col_idx * n + j])) for j in range(n)
         ]
 
-    # Lagrange -> coefficients (device INTT), then KZG commitments
-    ctx = DeviceCtx(curve)
-    dom = ctx.domain(log_n)
-    kzg = KZG(curve, srs)
+    # Lagrange -> coefficients (INTT), then KZG commitments
     trace_coeffs = {}
     commitments = {}
-    for name, evals in cols.items():
-        enc = ctx.fr_mont(evals)
-        coeffs = ctx.fr_dev.decode(np.asarray(dom.intt(enc)))
-        trace_coeffs[name] = coeffs
-        commitments[name] = kzg.commit(coeffs)
+    if engine == "host":
+        from .host_engine import HostKZG, intt_host
+
+        kzg = HostKZG(curve, srs)
+        for name, evals in cols.items():
+            coeffs = intt_host(evals, log_n, curve.fr)
+            trace_coeffs[name] = coeffs
+            commitments[name] = kzg.commit(coeffs)
+    else:
+        ctx = DeviceCtx(curve)
+        dom = ctx.domain(log_n)
+        kzg = KZG(curve, srs)
+        for name, evals in cols.items():
+            enc = ctx.fr_mont(evals)
+            coeffs = ctx.fr_dev.decode(np.asarray(dom.intt(enc)))
+            trace_coeffs[name] = coeffs
+            commitments[name] = kzg.commit(coeffs)
 
     pk = ProvingKey(
         trace_coeffs=trace_coeffs, log_n=log_n, k1=k1, k2=k2, srs=srs,

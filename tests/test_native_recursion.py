@@ -314,10 +314,12 @@ def inner_plonk_377():
     from circuits import Cubic
 
     scs = compile_circuit(b377.R, Cubic, builder="scs")
-    pk, vk = plonk.setup(scs, b377.BLS12_377, rng=random.Random(3030))
+    pk, vk = plonk.setup(scs, b377.BLS12_377, rng=random.Random(3030),
+                         engine="host")
     pub, sec = [35], [3]
     proof = plonk.prove(scs, pk, pub, sec, b377.BLS12_377,
-                        rng=random.Random(17), fs_hash="mimc")
+                        rng=random.Random(17), fs_hash="mimc",
+                        engine="host")
     plonk.verify(proof, vk, pub, b377.BLS12_377, fs_hash="mimc")
     return vk, proof, pub
 

@@ -67,10 +67,12 @@ def inner_proof_381():
     from gnark_icicle_tpu.curves import bls12_381 as b381
 
     cs = compile_circuit(b381.R, Cubic, builder="scs")
-    pk, vk = plonk.setup(cs, b381.BLS12_381, rng=random.Random(3))
+    pk, vk = plonk.setup(cs, b381.BLS12_381, rng=random.Random(3),
+                         engine="host")
     pub, sec = [35], [3]
     proof = plonk.prove(cs, pk, pub, sec, b381.BLS12_381,
-                        rng=random.Random(4), fs_hash="mimc")
+                        rng=random.Random(4), fs_hash="mimc",
+                        engine="host")
     plonk.verify(proof, vk, pub, b381.BLS12_381, fs_hash="mimc")
     return vk, proof, pub
 

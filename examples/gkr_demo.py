@@ -68,11 +68,16 @@ def main():
     groth16_pipeline()
 
 
-def groth16_pipeline():
+def groth16_pipeline(engine=None):
     """The standard compile→setup→prove→verify path with api-level GKR (≙
     reference constraint/bn254/gkr.go integration: the GKR sub-proof is
     produced by solver hints and verified inside the SNARK circuit — no
-    manual proof plumbing)."""
+    manual proof plumbing). engine defaults to the device kernels on TPU
+    and the host prover elsewhere."""
+    if engine is None:
+        import jax
+
+        engine = "device" if jax.default_backend() == "tpu" else "host"
     from gnark_icicle_tpu.backend import groth16
     from gnark_icicle_tpu.frontend import (
         Circuit as FrontCircuit, Public, Secret, compile_circuit,
@@ -105,12 +110,13 @@ def groth16_pipeline():
     cs = compile_circuit(Q, GkrInside)
     print(f"compiled GKR circuit: {cs.nb_constraints} constraints "
           f"({time.time()-t0:.2f}s)")
-    pk, vk = groth16.setup(cs, bn254.BN254, rng=random.Random(1))
+    pk, vk = groth16.setup(cs, bn254.BN254, rng=random.Random(1),
+                           engine=engine)
     w = GkrInside(a=A, b=B, want=W)
     pub, sec = w.witness_values(Q)
     t0 = time.time()
     proof = groth16.prove(cs, pk, pub, sec, bn254.BN254,
-                          rng=random.Random(2))
+                          rng=random.Random(2), engine=engine)
     print(f"proved in {time.time()-t0:.2f}s")
     groth16.verify(proof, vk, pub, bn254.BN254)
     print("Groth16 proof of GKR-verified computation: OK")

@@ -61,8 +61,35 @@ def _random_points_on_device(ctx, n, rng):
     return px, py, ks
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """The axon tunnel hangs (not errors) when down — probe it in a
+    subprocess so a dead tunnel yields a diagnostic JSON line instead of
+    a silent driver timeout."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); "
+             "import jax.numpy as jnp; jnp.ones((2,)).sum()"],
+            check=True, timeout=timeout_s, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main():
     import jax
+
+    if not _probe_device():
+        print(json.dumps({
+            "metric": os.environ.get("BENCH_METRIC", "msm"),
+            "value": None, "unit": "unavailable",
+            "vs_baseline": None,
+            "error": "device tunnel down (probe timed out)",
+        }))
+        return
 
     jax.config.update(
         "jax_compilation_cache_dir",

@@ -41,12 +41,18 @@ class Cubic(Circuit):
         api.assert_is_equal(api.add(x3, self.x, 5), self.y)
 
 
-def main():
+def main(engine=None):
+    if engine is None:
+        import jax
+
+        engine = "device" if jax.default_backend() == "tpu" else "host"
     t0 = time.time()
     inner_cs = compile_circuit(b377.R, Cubic)
-    ipk, ivk = groth16.setup(inner_cs, b377.BLS12_377, rng=random.Random(1))
+    ipk, ivk = groth16.setup(inner_cs, b377.BLS12_377, rng=random.Random(1),
+                             engine=engine)
     pub, sec = [35], [3]
     iproof = groth16.prove(inner_cs, ipk, pub, sec, b377.BLS12_377,
+                           engine=engine,
                            rng=random.Random(2))
     groth16.verify(iproof, ivk, pub, b377.BLS12_377)
     print(f"inner BLS12-377 proof: OK ({time.time()-t0:.1f}s)")
@@ -70,7 +76,8 @@ def main():
     print(f"outer circuit: {outer_cs.nb_constraints} constraints "
           f"({time.time()-t0:.1f}s compile)")
     t0 = time.time()
-    opk, ovk = groth16.setup(outer_cs, bw6.BW6_761, rng=random.Random(3))
+    opk, ovk = groth16.setup(outer_cs, bw6.BW6_761, rng=random.Random(3),
+                             engine=engine)
     print(f"outer setup: {time.time()-t0:.1f}s")
     w = OuterG16(
         inner_pub=pub[0],
@@ -82,6 +89,7 @@ def main():
     opub, osec = w.witness_values(b377.P)
     t0 = time.time()
     oproof = groth16.prove(outer_cs, opk, opub, osec, bw6.BW6_761,
+                           engine=engine,
                            rng=random.Random(4))
     print(f"outer prove: {time.time()-t0:.1f}s")
     groth16.verify(oproof, ovk, opub, bw6.BW6_761)

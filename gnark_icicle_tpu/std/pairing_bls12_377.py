@@ -33,6 +33,17 @@ P = b377.P
 R = b377.R
 X = b377.X_SEED  # positive seed
 
+# GLV/Frobenius endomorphism constants for the FAST subgroup checks
+# (≙ sw_bls12377/pairing2.go AssertIsOnG1:352-369, AssertIsOnG2:394-409).
+# φ(x, y) = (ω·x, y) with ω a primitive cube root of unity in Fp acts as
+# an eigenvalue λ with λ²+λ+1 ≡ 0 mod r on G1; ψ is the twisted Frobenius
+# ψ(x, y) = (conj(x)·c_x, conj(y)·c_y) acting as [p] ≡ [x₀] on G2.
+PHI_OMEGA = 0x9B3AF05DD14F6EC619AAF7D34594AABC5ED1347970DEC00452217CC900000008508C00000000001
+PSI_CX = PHI_OMEGA + 1  # the OTHER cube root ω² = ω+... (distinct root)
+PSI_CY = 0x1680A40796537CAC0C534DB1A79BEB1400398F50AD1DEC1BCE649CF436B0F6299588459BFF27D8E6E76D5ECF1391C63
+assert pow(PHI_OMEGA, 3, P) == 1 and PHI_OMEGA != 1
+assert (PHI_OMEGA * PHI_OMEGA + PHI_OMEGA + 1) % P == 0
+
 
 def _host_pow2(a: Fp2, e: int) -> Fp2:
     r = Fp2(b377.TOWER, 1, 0)
@@ -224,3 +235,44 @@ class BLS12377Pairing:
             f = e12.mul(f, self.miller_loop(p1, q2))
         e12.assert_equal(self.final_exponentiation(f),
                          self.gt_constant(gt_const))
+
+    # -- fast subgroup membership (Scott's eigenvalue tests) -----------------
+    def assert_g1_member(self, xy):
+        """On-curve + subgroup via P == −[x₀²]φ(P), φ(x,y) = (ω·x, y)
+        (≙ sw_bls12377/pairing2.go AssertIsOnG1:352-369; ~2× fewer
+        constraints than the full-order [r]P == O ladder: two 64-bit
+        seed ladders instead of one 253-bit one).
+
+        Sound for any affine (x, y): the on-curve check pins P to
+        E(Fp) (the identity is not representable affinely for b = 1),
+        and on E(Fp) the eigenvalue identity holds exactly on the
+        order-r subgroup. The projective comparison equations reject
+        Z = 0 outputs (the identity (0, λ≠0, 0) fails Y_S == −y·Z_S)."""
+        fp, g1 = self.fp, self.g1
+        g1.assert_on_curve_affine(xy, fp.constant(1))
+        phi = (fp.mul(xy[0], fp.constant(PHI_OMEGA)), xy[1])
+        s = g1.scalar_mul_const(g1.from_affine(phi), X)
+        s = g1.scalar_mul_const(s, X)
+        # S == −P projectively: X_S == x·Z_S ∧ Y_S == −y·Z_S
+        fp.assert_equal(s[0], fp.mul(xy[0], s[2]))
+        fp.assert_equal(s[1], fp.neg(fp.mul(xy[1], s[2])))
+
+    def assert_g2_member(self, q_pt):
+        """On-twist + subgroup via ψ(Q) == [x₀]Q, ψ(x,y) =
+        (conj(x)·c_x, conj(y)·c_y) (≙ pairing2.go AssertIsOnG2:394-409;
+        ~4× fewer constraints than the 253-bit twist ladder)."""
+        e2, g2, fp = self.e2, self.g2, self.fp
+        x, y = q_pt
+        # on-twist: y² == x³ + b'
+        lhs = e2.square(y)
+        rhs = e2.add(e2.mul(e2.square(x), x),
+                     self._c2(b377.G2_B))
+        e2.assert_equal(lhs, rhs)
+        cx, cy = fp.constant(PSI_CX), fp.constant(PSI_CY)
+        xc, yc = e2.conjugate(x), e2.conjugate(y)
+        psi_x = (fp.mul(xc[0], cx), fp.mul(xc[1], cx))
+        psi_y = (fp.mul(yc[0], cy), fp.mul(yc[1], cy))
+        s = g2.scalar_mul_const(g2.from_affine(q_pt), X)
+        # ψ(Q) == S projectively (identity (0, 1, 0) fails the Y row)
+        e2.assert_equal(s[0], e2.mul(psi_x, s[2]))
+        e2.assert_equal(s[1], e2.mul(psi_y, s[2]))

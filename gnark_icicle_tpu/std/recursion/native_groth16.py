@@ -15,10 +15,11 @@ inner publics should range-check them against r (std/rangecheck), matching
 the reference's emulated-scalar semantics.
 
 Subgroup membership of the proof points is enforced UNCONDITIONALLY via
-full-order ladders [r]P == O using the complete projective formulas
-(identity test = Z == 0) — heavier than gnark-crypto's ψ-eigenvalue tests
-(≙ g2.go IsInSubGroup) but sound with no curve-specific lemmas; the
-ψ-based fast checks are a recorded optimization (ROADMAP).
+the φ/ψ-eigenvalue fast checks (G1: P == −[x₀²]φ(P); G2: ψ(Q) == [x₀]Q;
+≙ sw_bls12377/pairing2.go AssertIsOnG1/AssertIsOnG2) — ~2×/4× cheaper
+than the full-order [r]P == O ladders they replaced; both accept/reject
+behaviors are host-validated against non-subgroup curve points
+(tests/test_native_recursion.py).
 """
 
 from __future__ import annotations
@@ -59,7 +60,6 @@ class NativeGroth16Verifier:
                        e2.constant(vk.g2_gamma[1].c0, vk.g2_gamma[1].c1))
         self._delta = (e2.constant(vk.g2_delta[0].c0, vk.g2_delta[0].c1),
                        e2.constant(vk.g2_delta[1].c0, vk.g2_delta[1].c1))
-        self._twist_b = e2.constant(b377.G2_B.c0, b377.G2_B.c1)
 
     # -- witness constructors ------------------------------------------------
     def proof_witness(self, proof) -> NativeVerifierProof:
@@ -80,26 +80,12 @@ class NativeGroth16Verifier:
 
     # -- membership checks ---------------------------------------------------
     def _assert_g1_member(self, xy):
-        """On-curve (y² = x³ + 1) + subgroup via [r]P == O (Z == 0)."""
-        g1 = self.pairing.g1
-        fp = self.pairing.fp
-        g1.assert_on_curve_affine(xy, fp.constant(b377.G1.b))
-        acc = g1.scalar_mul_const(g1.from_affine(xy), b377.R)
-        fp.assert_equal(acc[2], fp.constant(0))
+        """On-curve + subgroup via the φ-eigenvalue fast check."""
+        self.pairing.assert_g1_member(xy)
 
     def _assert_g2_member(self, q_pt):
-        """On-curve (y² = x³ + b') + subgroup via [r]Q == O on the twist."""
-        g2 = self.pairing.g2
-        e2 = self.pairing.e2
-        x, y = q_pt
-        lhs = e2.square(y)
-        rhs = e2.add(e2.mul(e2.square(x), x), self._twist_b)
-        e2.assert_equal(lhs, rhs)
-        acc = g2.scalar_mul_const(g2.from_affine(q_pt), b377.R)
-        zx, zy = acc[2]
-        fp = self.pairing.fp
-        fp.assert_equal(zx, fp.constant(0))
-        fp.assert_equal(zy, fp.constant(0))
+        """On-twist + subgroup via the ψ-Frobenius fast check."""
+        self.pairing.assert_g2_member(q_pt)
 
     # -- the verification relation ------------------------------------------
     def assert_proof(self, proof: NativeVerifierProof, public_inputs,

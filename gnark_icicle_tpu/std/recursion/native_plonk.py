@@ -138,10 +138,12 @@ class NativePlonkVerifier:
             for pv in public_inputs
         ]
 
-        b1 = nf.constant(1)  # curve b for on-curve checks (b = 1)
+        # on-curve + subgroup membership of every attacker-supplied point
+        # (φ-eigenvalue fast check; BLS12-377's G1 cofactor is ≈2^125, so
+        # on-curve alone would admit small-order components)
         for pt in (*proof.lro, proof.z_com, *proof.h_coms,
                    proof.batch_h, proof.z_shifted_h):
-            g1.assert_on_curve_affine(pt, b1)
+            self.pairing.assert_g1_member(pt)
 
         # ---- transcript replay (≙ MiMCTranscript, host-bit-identical) -----
         ts = EmulatedNamedTranscript(self.fr, _CHALLENGES)

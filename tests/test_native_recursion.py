@@ -107,6 +107,74 @@ def test_g2_complete_formulas_match_host():
     assert _aff2(g2g.scalar_mul_const(P, b377.R)) is None
 
 
+# (2, 3) is on y² = x³ + 1 (9 = 8 + 1) but OUTSIDE the order-r subgroup
+# (G1 cofactor ≈ 2^125); verified below with a raw [r]-ladder that does
+# not reduce the scalar mod the group order.
+_G1_NONSUB = (2, 3)
+# x = 2 + u lift on the D-twist, outside the order-r subgroup (G2
+# cofactor ≈ 2^629); y from the complex-method Fp2 sqrt.
+_G2_NONSUB_Y = (
+    87422840072826444250887876553565942107355551262075501346398264275644536685914269348883251443966746472990108358918,
+    215532314401042231238087290877698852638896402558755014880383192266220331697178391270737005425522628434566521626153,
+)
+
+
+def _raw_mul(grp, pt, k):
+    """Double-and-add WITHOUT scalar reduction (host scalar_mul reduces
+    mod r, which silently accepts non-subgroup points)."""
+    acc = None
+    while k:
+        if k & 1:
+            acc = grp.add(acc, pt)
+        pt = grp.add(pt, pt)
+        k >>= 1
+    return acc
+
+
+def test_fast_subgroup_check_g1():
+    """φ-eigenvalue membership (≙ pairing2.go AssertIsOnG1): accepts
+    subgroup points, rejects on-curve non-subgroup points."""
+    rng = random.Random(43)
+    host = b377.G1
+    # sanity: the bad point is on-curve and genuinely not in the subgroup
+    x, y = _G1_NONSUB
+    assert (y * y) % b377.P == (pow(x, 3, b377.P) + 1) % b377.P
+    assert _raw_mul(host, _G1_NONSUB, b377.R) is not None
+
+    for pt in (b377.G1_GEN, host.random_point(rng)):
+        pr = BLS12377Pairing(Engine(NQ))
+        pr.assert_g1_member(_gin1(pr, pt))  # must not raise
+
+    pr = BLS12377Pairing(Engine(NQ))
+    with pytest.raises(EngineUnsatisfiedError):
+        pr.assert_g1_member(_gin1(pr, _G1_NONSUB))
+    # off-curve point fails the on-curve leg
+    pr = BLS12377Pairing(Engine(NQ))
+    with pytest.raises(EngineUnsatisfiedError):
+        pr.assert_g1_member(_gin1(pr, (x, (y + 1) % b377.P)))
+
+
+def test_fast_subgroup_check_g2():
+    """ψ-Frobenius membership (≙ pairing2.go AssertIsOnG2)."""
+    rng = random.Random(44)
+    host = b377.G2
+    bad = (Fp2(TP, 2, 1), Fp2(TP, *_G2_NONSUB_Y))
+    assert bad[1] * bad[1] == bad[0] * bad[0] * bad[0] + b377.G2_B
+    assert _raw_mul(host, bad, b377.R) is not None
+
+    for qt in (b377.G2_GEN, host.random_point(rng)):
+        pr = BLS12377Pairing(Engine(NQ))
+        pr.assert_g2_member(_gin2(pr, qt))  # must not raise
+
+    pr = BLS12377Pairing(Engine(NQ))
+    with pytest.raises(EngineUnsatisfiedError):
+        pr.assert_g2_member(_gin2(pr, bad))
+    pr = BLS12377Pairing(Engine(NQ))
+    off = (bad[0], Fp2(TP, bad[1].c0, (bad[1].c1 + 1) % b377.P))
+    with pytest.raises(EngineUnsatisfiedError):
+        pr.assert_g2_member(_gin2(pr, off))
+
+
 @pytest.mark.slow
 def test_native_pairing_matches_host_oracle():
     rng = random.Random(43)

@@ -252,21 +252,30 @@ class MSMKernel:
     # ------------------------------------------------------------------
     def _suffix_scan_t(self, tc, P, m: int):
         """Inclusive suffix sums along the LAST axis of (K, ..., m)-shaped
-        transposed coords, with TCurve full adds on flattened lanes."""
+        transposed coords, with TCurve full adds on flattened lanes.
+
+        lax.scan over the log₂(m) shift levels: ONE traced TCurve add
+        regardless of m. (The unrolled version emitted ~13 Pallas kernel
+        instances per level; at MSM bucket counts the resulting multi-MB
+        MLIR module OOM-killed the TPU compile helper.)"""
         if m == 1:
             return P
         K = P[0].shape[0]
+        shape = P[0].shape
         steps = int(np.ceil(np.log2(m)))
+        shifts = jnp.asarray([1 << k for k in range(steps)], dtype=jnp.int32)
         lane = jnp.arange(m)
-        for k in range(steps):
-            shift = 1 << k
-            rolled = tuple(jnp.roll(a, -shift, axis=-1) for a in P)
-            flat = lambda t_: tuple(a.reshape(K, -1) for a in t_)
-            added = tc.add(flat(P), flat(rolled))
-            added = tuple(a.reshape(P[0].shape) for a in added)
+        flat = lambda t_: tuple(a.reshape(K, -1) for a in t_)
+
+        def body(x, shift):
+            rolled = tuple(jnp.roll(a, -shift, axis=-1) for a in x)
+            added = tc.add(flat(x), flat(rolled))
             mask = (lane + shift) < m
-            P = tuple(jnp.where(mask, a_n, a_o)
-                      for a_n, a_o in zip(added, P))
+            x = tuple(jnp.where(mask, a_n.reshape(shape), a_o)
+                      for a_n, a_o in zip(added, x))
+            return x, None
+
+        P, _ = jax.lax.scan(body, P, shifts)
         return P
 
     def _weighted_sum_t(self, tc, P, m: int):
@@ -289,46 +298,70 @@ class MSMKernel:
             m = half
         return tuple(a[..., 0] for a in P)
 
-    def _weighted_chunked_t(self, tc, P, m: int):
-        """Σ_{i=0}^{m-1} (i+1)·P_i along the last axis, WORK-EFFICIENT.
+    def _weighted_chunked_t(self, tc, P, m: int, chunk: int = 2048):
+        """Σ_{i=0}^{m-1} (i+1)·P_i along the last axis, WORK-EFFICIENT
+        and COMPILE-LEAN.
 
         The log-depth double-suffix-scan costs 2·m·log₂(m) adds; at MSM
         bucket counts (B = 2^15) that dwarfs the wave phase itself. This
-        version splits i = v·M + j (V chunks of M) and runs the classic
-        sequential running/acc recurrence over j — vectorized across all
-        chunks — for 2·m adds, then combines chunk totals recursively:
+        version splits i = v·M + j (V = ``chunk`` lanes, M serial steps)
+        and runs the classic running/acc recurrence over j as ONE
+        lax.scan (2 traced adds, 2·m lane-adds of work), then combines
+        chunk totals in one closed form:
 
             Σ (vM+j+1)·P = Σ_v acc_v + M·(Σ_v (v+1)·T_v − Σ_v T_v)
 
+        where the V-sized Σ_v reductions ride the (scan-based) suffix
+        scans — V·log₂V extra lane-adds, ≤7% of the main phase at
+        V = 2048. Everything is lax control flow: the traced graph holds
+        a constant ~6 TCurve ops however large m is (the previous
+        unrolled/recursive version emitted ~100 — whose serialized
+        Pallas kernels OOM-killed the TPU compile helper).
+
         (≙ the role of gnark-crypto msm.go's running-sum loop, done with
         lanes = chunks instead of serially.)"""
-        if m <= 128:
+        if m <= chunk:
             return self._weighted_sum_t(tc, P, m)
         K = P[0].shape[0]
         lead = P[0].shape[1:-1]
-        # M serial steps of adds over (lead × V) lanes; V capped so the
-        # serial depth stays ≤ ~32 while lanes stay kernel-sized
-        M = max(m // 2048, 8)
-        V = m // M
-        assert V * M == m
+        V = chunk
+        M = m // V
+        assert V * M == m and M & (M - 1) == 0, "m, chunk must be powers of 2"
         g = tuple(a.reshape(a.shape[:-1] + (V, M)) for a in P)
+        # stack the serial axis in front: xs[j] = all chunks' j-th element
+        xs = tuple(
+            jnp.moveaxis(a, -1, 0).reshape((M, K, -1)) for a in g
+        )
+        ident = tc.identity(xs[0].shape[-1])
         flat = lambda t_: tuple(a.reshape(K, -1) for a in t_)
-        running = tc.identity(int(np.prod(lead, dtype=np.int64)) * V)
-        acc = running
-        for j in range(M - 1, -1, -1):
-            pj = flat(tuple(a[..., j] for a in g))
+
+        def body(carry, pj):
+            running, acc = carry
             running = tc.add(running, pj)
             acc = tc.add(acc, running)
+            return (running, acc), None
+
+        # j runs M-1 → 0: running_v = T_v, acc_v = Σ_j (j+1)·P_{v,j}
+        (running, acc), _ = jax.lax.scan(
+            body, (ident, ident), xs, reverse=True
+        )
         shp = (K,) + lead + (V,)
-        T = tuple(a.reshape(shp) for a in running)   # chunk totals
-        A = tuple(a.reshape(shp) for a in acc)       # Σ_j (j+1)·P_{v,j}
-        sum_a = self._tree_sum_t(tc, A, V)           # (K, lead)
-        w_t = self._weighted_chunked_t(tc, T, V)     # Σ (v+1)·T_v
-        sum_t = self._tree_sum_t(tc, T, V)
-        hi = tc.add(w_t, (sum_t[0], tc._neg(sum_t[1]), sum_t[2]))
-        for _ in range(M.bit_length() - 1):          # ×M (power of two)
-            hi = tc.double(hi)
-        return tc.add(sum_a, hi)
+        T = tuple(a.reshape(shp) for a in running)
+        A = tuple(a.reshape(shp) for a in acc)
+        lane0 = lambda t_: tuple(a[..., 0] for a in t_)
+        sum_a = lane0(self._suffix_scan_t(tc, A, V))      # Σ_v acc_v
+        s1 = self._suffix_scan_t(tc, T, V)
+        sum_t = lane0(s1)                                 # Σ_v T_v
+        w_t = lane0(self._suffix_scan_t(tc, s1, V))       # Σ_v (v+1)·T_v
+        hi = tc.add(flat(w_t),
+                    flat((sum_t[0], tc._neg(sum_t[1]), sum_t[2])))
+
+        def dbl(x, _):
+            return tc.double(x), None
+
+        hi, _ = jax.lax.scan(dbl, hi, None, length=M.bit_length() - 1)
+        out = tc.add(hi, flat(sum_a))
+        return tuple(a.reshape((K,) + lead) for a in out)
 
     def _bucket_reduce_t(self, tc, buckets_t, W: int, B: int):
         """Σ_b (b+1)·bucket[w, b] per window, fully transposed; returns

@@ -175,18 +175,25 @@ def bench_ntt(log_n: int, iters: int):
                            dtype=np.int32)
     limbs[:, -1] &= 0x3FFF
     # fresh input per iteration: the serving stack can dedupe repeated
-    # identical dispatches, which fakes the timing
-    variants = []
-    for i in range(iters + 1):
-        v = limbs.copy()
-        v[0, 0] = (v[0, 0] + i) & 0x3FFF
-        variants.append(ctx.fr_mont(v))
-    res = dom.ntt(variants[-1])
+    # identical dispatches, which fakes the timing. Variants are derived on
+    # device from ONE resident buffer (a (N,K) buffer is 1 GB at 2^24 —
+    # holding iters+1 of them OOMed HBM in the round-2 sweep).
+    import jax.numpy as jnp
+
+    base = ctx.fr_mont(limbs)
+    deltas = [
+        ctx.fr_mont(np.array([[i] + [0] * (ctx.fr_dev.K - 1)], np.int32))[0]
+        for i in range(iters + 1)
+    ]
+    perturb = jax.jit(lambda b, d: b.at[0].set(ctx.fr_dev.add(b[0], d)))
+    res = dom.ntt(perturb(base, deltas[-1]))
     jax.block_until_ready(res)
     times = []
     for i in range(iters):
+        v = perturb(base, deltas[i])
+        jax.block_until_ready(v)
         t0 = time.perf_counter()
-        res = dom.ntt(variants[i])
+        res = dom.ntt(v)
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -195,15 +202,14 @@ def bench_ntt(log_n: int, iters: int):
     q = bn254.R
     j = random.Random(5).randrange(n)
     got_j = ctx.fr_dev.decode(np.asarray(res[j : j + 1]))[0]
-    limbs_used = limbs.copy()
-    limbs_used[0, 0] = (limbs_used[0, 0] + (iters - 1)) & 0x3FFF
     vals = [
         int.from_bytes(
-            np.ascontiguousarray(limbs_used[i]).astype(np.uint16).tobytes(),
+            np.ascontiguousarray(limbs[i]).astype(np.uint16).tobytes(),
             "little",
         ) % q
         for i in range(n)
     ]
+    vals[0] = (vals[0] + iters - 1) % q  # the device-side perturbation
     wj = pow(bn254.FR.root_of_unity(log_n), j, q)
     want = 0
     for c in reversed(vals):

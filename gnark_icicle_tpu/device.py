@@ -105,9 +105,22 @@ class DeviceCtx:
         """Host ints or plain limb array -> Montgomery-form limbs.
 
         Array inputs convert on device (to_mont = one mont_mul by R²) — the
-        native-solver fast path never touches Python bigints."""
+        native-solver fast path never touches Python bigints. Conversion is
+        chunked over N: the (N, K, K) half-product temp inside mont_mul is
+        ~3 KB/element, which OOMs HBM at 2^24 in one shot (49.5 GB for a
+        15.75 GB chip — the round-2 ntt-2^24 sweep failure)."""
         if isinstance(values, np.ndarray) and values.ndim == 2:
-            return self.fr_dev.to_mont(jnp.asarray(values.astype(np.int32)))
+            n = values.shape[0]
+            chunk = 1 << 20
+            if n <= chunk:
+                return self.fr_dev.to_mont(jnp.asarray(values.astype(np.int32)))
+            parts = [
+                self.fr_dev.to_mont(
+                    jnp.asarray(values[lo : lo + chunk].astype(np.int32))
+                )
+                for lo in range(0, n, chunk)
+            ]
+            return jnp.concatenate(parts, axis=0)
         return jnp.asarray(self.fr_dev.encode(values))
 
     def g1_points(self, points_host):

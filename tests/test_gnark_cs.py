@@ -475,3 +475,55 @@ def test_fixture_e2e_prove_verify():
     plonk.verify(pf, vkp, [5, 7], bn254.BN254)
     with pytest.raises(Exception):
         plonk.verify(pf, vkp, [5, 8], bn254.BN254)
+
+
+def test_intcomp_full_block_refusal():
+    """A count>=128 block header (the Go library's bit-pack regime for
+    full blocks) must be REFUSED loudly, not misdecoded: the bit-pack
+    word layout is not byte-verifiable without real ciphertext
+    (reference: internal/backend/ioutils/intcomp.go wraps ronanh/intcomp
+    v1.1.0, whose source is not vendored in-tree). VERDICT r2 item 10."""
+    # u32 framing: [count][len][payload...][len] with count pinned at 128
+    words = [128, 3, 0x80808080, 3]
+    with pytest.raises(ValueError, match="bit-pack"):
+        intcomp.uncompress_u32(words)
+    # u64 framing: count in the low half of word0
+    words64 = [128 | (2 << 32), 0x8080808080808080, 2]
+    with pytest.raises(ValueError, match="bit-pack"):
+        intcomp.uncompress_u64(words64)
+
+
+def test_gnark_cs_roundtrip_beyond_block_size():
+    """A CS whose intcomp streams carry thousands of values (far beyond
+    the 128-value block boundary) round-trips through our own encoder —
+    long streams ride chunked <=127-value varint blocks, the regime
+    byte-verified against the issue1045 fixtures."""
+    from gnark_icicle_tpu.frontend import (
+        Circuit, Public, Secret, compile_circuit,
+    )
+    from gnark_icicle_tpu.constraint.solver import solve
+
+    class Wide(Circuit):
+        x = Secret()
+        y = Public()
+
+        def define(self, api):
+            v = self.x
+            for i in range(700):  # > 5x the 128 block size in every stream
+                v = api.add(api.mul(v, v), i)
+            api.assert_is_equal(v, self.y)
+
+    q = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+    cs = compile_circuit(q, Wide)
+    assert cs.nb_constraints > 600
+    blob = gnark_cs.write_r1cs(cs)
+    # the encoded blob must decode to a byte-identical re-encoding
+    assert gnark_cs.encode(gnark_cs.decode(blob)) == blob
+    back = gnark_cs.read_r1cs(blob)
+    x = 3
+    v = x
+    for i in range(700):
+        v = (v * v + i) % q
+    a = solve(cs, [v], [x], native=False)
+    b = solve(back, [v], [x], native=False)
+    assert a.wires == b.wires

@@ -66,6 +66,47 @@ def _compute_h(ctx: DeviceCtx, a, b, c, log_n: int):
     return F.from_mont(h_rev)  # plain limbs = MSM scalar format
 
 
+def _compute_h_sharded(ctx: DeviceCtx, a, b, c, log_n: int, mesh,
+                       axis: str = "shard"):
+    """(a·b−c)/Z sharded over a device mesh: 4-step ShardedNTT transforms
+    with elementwise coset scaling (coset_ntt(e) = NTT(e ∘ gⁱ)). Returns
+    the same bit-reversed plain-form limbs as _compute_h — bit-exact, the
+    work distributed over the mesh (≙ SURVEY §2.4(c): computeH's 7
+    full-domain transforms as sharded super-ops)."""
+    import numpy as np
+
+    from ...parallel.ntt import ShardedNTT
+
+    q = ctx.curve.fr.modulus
+    n = 1 << log_n
+    F = ctx.fr_dev
+    dom = ctx.domain(log_n, coset=True)  # coset tables + bit-rev indices
+    sntt = ShardedNTT(F, ctx.curve.fr, log_n, mesh, axis)
+
+    def pad_mont(v):
+        if isinstance(v, np.ndarray):
+            v = np.pad(v, [(0, n - v.shape[0]), (0, 0)])
+        else:
+            v = v + [0] * (n - len(v))
+        return ctx.fr_mont(v)
+
+    ea, eb, ec = pad_mont(a), pad_mont(b), pad_mont(c)
+    g = ctx.curve.fr.multiplicative_generator
+    den = pow((pow(g, n, q) - 1) % q, -1, q)
+    den_m = jnp.asarray(F.encode([den])[0])
+
+    def to_coset(e):
+        return sntt.ntt(F.mont_mul(sntt.intt(e), dom.coset_pows))
+
+    ca, cb, cc = to_coset(ea), to_coset(eb), to_coset(ec)
+    h_evals = F.mont_mul(
+        F.sub(F.mont_mul(ca, cb), cc), jnp.broadcast_to(den_m, ca.shape)
+    )
+    h_nat = F.mont_mul(sntt.intt(h_evals), dom.coset_inv_pows)
+    h_rev = jnp.take(h_nat, dom._rev, axis=0)  # bit-reversed coeff order
+    return F.from_mont(h_rev)
+
+
 class _Checkpoint:
     """Stage checkpointing for preemptible accelerators (SURVEY §5: the
     reference has no mid-proof checkpointing — this is the TPU-slice
@@ -116,7 +157,7 @@ class _Checkpoint:
 
 def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
           rng=None, checkpoint_dir: str | None = None,
-          engine: str = "device") -> Proof:
+          engine: str = "device", mesh=None) -> Proof:
     """Generate a Groth16 proof (≙ groth16.Prove, icicle path).
 
     checkpoint_dir: if set, persist each prover stage (solve, H, MSMs) so a
@@ -125,6 +166,11 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     big-int computeH + MSM, ≙ the reference's non-accelerated prover:
     zero compile/dispatch overhead, right for small systems and
     accelerator-less environments).
+    mesh: optional jax.sharding.Mesh with one axis named "shard" — the
+    device phase then runs SHARDED: computeH through the 4-step ShardedNTT
+    and the proof MSMs as concurrent sub-mesh dispatches (≥4 devices) or
+    data-parallel over the whole mesh. Bit-exact vs the single-device
+    path (same h, same MSM results; blinding from the same rng).
     """
     import time
 
@@ -253,9 +299,14 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     if h_scalars is None:
         import numpy as np
 
-        h_scalars = _compute_h(
-            ctx, res.a_u16(), res.b_u16(), res.c_u16(), log_n
-        )
+        if mesh is not None:
+            h_scalars = _compute_h_sharded(
+                ctx, res.a_u16(), res.b_u16(), res.c_u16(), log_n, mesh
+            )
+        else:
+            h_scalars = _compute_h(
+                ctx, res.a_u16(), res.b_u16(), res.c_u16(), log_n
+            )
         if ck is not None:
             h_scalars = np.asarray(h_scalars)
             ck.save("h", h_scalars)
@@ -283,6 +334,47 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     nb_priv = priv_u16.shape[0]
 
     msms = ck.load("msms") if ck is not None else None
+    if msms is None and mesh is not None:
+        # sharded MSMs: concurrent sub-mesh dispatches when the mesh is
+        # wide enough (the reference's 4-goroutine fan-out, prove.go:310,
+        # as mesh-level parallelism), else data-parallel on the full mesh
+        from ...parallel.pipeline import (
+            dispatch_msm, pipelined_groth16_msms, split_submeshes,
+        )
+
+        devices = list(mesh.devices.flat)
+        if len(devices) >= 4:
+            share = len(devices) // 4
+            meshes = split_submeshes(
+                devices,
+                {"a": share, "b1": share, "b2": share,
+                 "hk": len(devices) - 3 * share},
+            )
+            out = pipelined_groth16_msms(
+                ctx, meshes, dev, wires, priv_wires, h_scalars
+            )
+        else:
+            out = {
+                "ar": dispatch_msm(ctx.msm_g1, mesh, dev["a"][0],
+                                   dev["a"][1], wires),
+                "bs1": dispatch_msm(ctx.msm_g1, mesh, dev["b1"][0],
+                                    dev["b1"][1], wires),
+                "bs2": dispatch_msm(ctx.msm_g2, mesh, dev["b2"][0],
+                                    dev["b2"][1], wires),
+            }
+            if nb_priv > 0:
+                out["krs_k"] = dispatch_msm(ctx.msm_g1, mesh, dev["k"][0],
+                                            dev["k"][1], priv_wires)
+            out["krs_z"] = dispatch_msm(ctx.msm_g1, mesh, dev["z"][0],
+                                        dev["z"][1], h_scalars)
+        krs_parts = [out[k] for k in ("krs_k", "krs_z") if k in out]
+        msms = (
+            ctx.g1_to_host(out["ar"]), ctx.g1_to_host(out["bs1"]),
+            ctx.g2_to_host(out["bs2"]),
+            [ctx.g1_to_host(p) for p in krs_parts],
+        )
+        if ck is not None:
+            ck.save("msms", msms)
     if msms is None:
         c_all = pick_window(nw)
         ar_dev = ctx.msm_g1.msm(dev["a"][0], dev["a"][1], wires, c_all)

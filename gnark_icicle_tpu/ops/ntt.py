@@ -114,13 +114,23 @@ class Domain:
         # the only layout whose stage temps fit HBM at 2^24 (PERF_NOTES.md)
         self._use_t = os.environ.get("GNARK_TPU_T_NTT", "1") == "1"
 
+        # int32 index table (n < 2^31 always holds here); passed to jitted
+        # transforms as a runtime ARGUMENT — closing over it would embed a
+        # 134 MB constant at 2^24 into every HLO module, which blows the
+        # remote-compile request limit (round-3 ntt-2^24 failure) and
+        # bloats the persistent cache
+        self._rev = jnp.asarray(bitrev_indices(self.n).astype(np.int32))
         self.coset_gen = coset_gen
         if coset_gen is not None:
             g = jnp.asarray(F.encode([coset_gen])[0], dtype=I32)
             gi = jnp.asarray(F.encode([pow(coset_gen, -1, q)])[0], dtype=I32)
             self.coset_pows = _pow_table(F, g, self.n)  # g^i, natural order
             self.coset_inv_pows = _pow_table(F, gi, self.n)
-        self._rev = jnp.asarray(bitrev_indices(self.n))
+            # pre-permuted (bit-reversed index order) variants, device-built
+            self._coset_pows_rev = jnp.take(self.coset_pows, self._rev,
+                                            axis=0)
+            self._coset_inv_pows_rev = jnp.take(self.coset_inv_pows,
+                                                self._rev, axis=0)
 
     # -- core butterflies ---------------------------------------------------
     # Transforms act along axis -2 of (..., n, K) arrays: leading axes are
@@ -222,12 +232,11 @@ class Domain:
             xt = xt.reshape((K,) + batch + (-1,))
         return jnp.moveaxis(xt, 0, -1).astype(I32)
 
-    def _dif(self, x, tw):
+    def _dif(self, x, tw, tw_key):
         """Natural-order input -> bit-reversed output (decimation in freq)."""
         F, n = self.F, self.n
         if self._t_active():
             return self._butterflies_t(x, tw, dif=True)
-        tw_key = "f" if tw is self.tw_fwd else "i"
         batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n - 1, -1, -1)]:
             stride = n // (2 * m)
@@ -239,12 +248,11 @@ class Domain:
             x = jnp.stack([s, d], axis=-3).reshape(batch + (-1, F.K))
         return x
 
-    def _dit(self, x, tw):
+    def _dit(self, x, tw, tw_key):
         """Bit-reversed input -> natural-order output (decimation in time)."""
         F, n = self.F, self.n
         if self._t_active():
             return self._butterflies_t(x, tw, dif=False)
-        tw_key = "f" if tw is self.tw_fwd else "i"
         batch = x.shape[:-2]
         for m in [1 << s for s in range(self.log_n)]:
             stride = n // (2 * m)
@@ -258,74 +266,94 @@ class Domain:
         return x
 
     # -- public transforms ---------------------------------------------------
-    @partial(jax.jit, static_argnums=0)
+    # Every jitted implementation takes the twiddle / permutation / coset
+    # tables as runtime ARGUMENTS: a table closed over inside a trace is
+    # embedded into the HLO module as an inline constant — ~0.5 GB of
+    # twiddles at 2^24, far past the remote-compile request limit.
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _dif_jit(self, x, tw, tw_key):
+        return self._dif(x, tw, tw_key)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _dit_jit(self, x, tw, tw_key):
+        return self._dit(x, tw, tw_key)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _intt_dif_jit(self, x, tw, tw_key):
+        x = self._dif(x, tw, tw_key)
+        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _intt_dit_jit(self, x, tw, tw_key):
+        x = self._dit(x, tw, tw_key)
+        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+
     def ntt_nat_to_rev(self, coeffs):
         """coefficients (natural) -> evaluations (bit-reversed)."""
-        return self._dif(coeffs, self.tw_fwd)
+        return self._dif_jit(coeffs, self.tw_fwd, "f")
 
-    @partial(jax.jit, static_argnums=0)
     def ntt_rev_to_nat(self, coeffs_rev):
         """coefficients (bit-reversed) -> evaluations (natural)."""
-        return self._dit(coeffs_rev, self.tw_fwd)
+        return self._dit_jit(coeffs_rev, self.tw_fwd, "f")
 
-    @partial(jax.jit, static_argnums=0)
     def intt_nat_to_rev(self, evals):
         """evaluations (natural) -> coefficients (bit-reversed), incl. 1/N."""
-        x = self._dif(evals, self.tw_inv)
-        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+        return self._intt_dif_jit(evals, self.tw_inv, "i")
 
-    @partial(jax.jit, static_argnums=0)
     def intt_rev_to_nat(self, evals_rev):
         """evaluations (bit-reversed) -> coefficients (natural), incl. 1/N."""
-        x = self._dit(evals_rev, self.tw_inv)
-        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+        return self._intt_dit_jit(evals_rev, self.tw_inv, "i")
 
     # -- natural-order conveniences (one device gather) ----------------------
     def bit_reverse(self, x):
         return jnp.take(x, self._rev, axis=-2)
 
-    @partial(jax.jit, static_argnums=0)
     def ntt(self, coeffs):
         """natural -> natural forward transform."""
         return self.bit_reverse(self.ntt_nat_to_rev(coeffs))
 
-    @partial(jax.jit, static_argnums=0)
     def intt(self, evals):
         """natural -> natural inverse transform."""
         return self.bit_reverse(self.intt_nat_to_rev(evals))
 
     # -- coset variants -------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _scaled_dit_jit(self, x, scale, tw, tw_key):
+        return self._dit(self.F.mont_mul(x, scale), tw, tw_key)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _scaled_dif_jit(self, x, scale, tw, tw_key):
+        return self._dif(self.F.mont_mul(x, scale), tw, tw_key)
+
     @partial(jax.jit, static_argnums=0)
+    def _unscale_jit(self, x, scale):
+        x = self.F.mont_mul(x, scale)
+        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+
     def coset_ntt_rev_in(self, coeffs_rev):
         """bit-reversed coefficients -> natural evals on the coset g·<omega>.
 
         Scales coefficient i by g^i (tables pre-permuted to bit-reversed
         index order) then runs DIT.
         """
-        scale = jnp.take(self.coset_pows, self._rev, axis=0)
-        return self._dit(self.F.mont_mul(coeffs_rev, scale), self.tw_fwd)
+        return self._scaled_dit_jit(coeffs_rev, self._coset_pows_rev,
+                                    self.tw_fwd, "f")
 
-    @partial(jax.jit, static_argnums=0)
     def coset_ntt_nat(self, coeffs):
         """natural coefficients -> natural evals on the coset g·<omega>."""
         return self.bit_reverse(
-            self._dif(self.F.mont_mul(coeffs, self.coset_pows), self.tw_fwd)
+            self._scaled_dif_jit(coeffs, self.coset_pows, self.tw_fwd, "f")
         )
 
-    @partial(jax.jit, static_argnums=0)
     def coset_intt_nat(self, evals):
         """natural coset evals -> natural coefficients (incl. 1/N, g^-i)."""
-        x = self.bit_reverse(self._dif(evals, self.tw_inv))
-        x = self.F.mont_mul(x, self.coset_inv_pows)
-        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+        x = self.bit_reverse(self._dif_jit(evals, self.tw_inv, "i"))
+        return self._unscale_jit(x, self.coset_inv_pows)
 
-    @partial(jax.jit, static_argnums=0)
     def coset_intt_nat_to_rev(self, evals):
         """natural coset evals -> bit-reversed coefficients (incl. 1/N, g^-i)."""
-        x = self._dif(evals, self.tw_inv)
-        scale = jnp.take(self.coset_inv_pows, self._rev, axis=0)
-        x = self.F.mont_mul(x, scale)
-        return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
+        x = self._dif_jit(evals, self.tw_inv, "i")
+        return self._unscale_jit(x, self._coset_inv_pows_rev)
 
 
 def domain_for(F: LimbField, prime_field, log_n: int, coset: bool = False) -> Domain:

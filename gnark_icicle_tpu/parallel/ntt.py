@@ -108,14 +108,14 @@ class ShardedNTT:
             m = jax.lax.all_to_all(m, ax, split_axis=1, concat_axis=0, tiled=True)
             m = jnp.swapaxes(m, 0, 1)  # (N2/d, N1, K) [j2 local, j1]
             # column NTT over j1 (axis -2), batched over local j2
-            y = dom1.bit_reverse(dom1._dif(m, tw1))  # natural k1
+            y = dom1.bit_reverse(dom1._dif(m, tw1, 'i' if inverse else 'f'))  # natural k1
             # twiddle ω^(j2·k1): gl is (N2/d, N1, K)
             y = F.mont_mul(y, gl)
             # transpose 2: (N2/d, N1, K) → (N2, N1/d, K) [j2 full, k1 local]
             y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0, tiled=True)
             y = jnp.swapaxes(y, 0, 1)  # (N1/d, N2, K) [k1 local, j2]
             # row NTT over j2 (axis -2), batched over local k1
-            z = dom2.bit_reverse(dom2._dif(y, tw2))  # natural k2
+            z = dom2.bit_reverse(dom2._dif(y, tw2, 'i' if inverse else 'f'))  # natural k2
             # transpose 3: want natural output k = k1 + N1·k2 sharded by k2
             z = jnp.swapaxes(z, 0, 1)  # (N2, N1/d, K) [k2 full, k1 local]
             z = jax.lax.all_to_all(z, ax, split_axis=0, concat_axis=1, tiled=True)

@@ -109,13 +109,13 @@ def test_transposed_butterflies_bit_exact(log_n):
     dom = domain_for(F, FR, log_n)
     vals = [rng.randrange(q) for _ in range(2 * n)]
     x = jnp.asarray(F.encode(vals)).reshape(2, n, F.K)  # batch of 2
-    for tw in (dom.tw_fwd, dom.tw_inv):
+    for tw, key in ((dom.tw_fwd, "f"), (dom.tw_inv, "i")):
         for dif in (True, False):
             got = dom._butterflies_t(x, tw, dif=dif)
             saved = dom._use_t
             dom._use_t = False
             try:
-                want = dom._dif(x, tw) if dif else dom._dit(x, tw)
+                want = dom._dif(x, tw, key) if dif else dom._dit(x, tw, key)
             finally:
                 dom._use_t = saved
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

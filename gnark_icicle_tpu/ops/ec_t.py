@@ -25,7 +25,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .field import LimbField
-from .field_t import TFieldOps, U32
+from .field_t import TFieldOps, TField2Ops, U32
+
+
+def _mul2_kernel(ops2: TField2Ops, a0_ref, a1_ref, b0_ref, b1_ref,
+                 o0_ref, o1_ref):
+    """Fused Fp2 Karatsuba mont_mul on separate c0/c1 plane tiles."""
+    t = ops2.base
+    a = (t.to_rows(a0_ref[...]), t.to_rows(a1_ref[...]))
+    b = (t.to_rows(b0_ref[...]), t.to_rows(b1_ref[...]))
+    c0, c1 = ops2.mul_rows2(a, b)
+    o0_ref[...] = t.from_rows(c0)
+    o1_ref[...] = t.from_rows(c1)
 
 
 def _mul_kernel(ops: TFieldOps, x_ref, y_ref, o_ref):
@@ -218,6 +229,15 @@ class TCurve:
         X3 = add(X3, X3)
         return (X3, Y3, Z3)
 
+    def neg_point(self, P):
+        """(x, −y, z) — the flat-tuple point negation the generic MSM
+        reduction code calls (TCurve2 overrides for its plane layout)."""
+        return (P[0], self._neg(P[1]), P[2])
+
+    def to_curve_tree(self, flat):
+        """Flat plane tuple -> the DevCurve pytree shape (identity for G1)."""
+        return tuple(flat)
+
     # -- public ops ----------------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 5))
     def add_mixed_masked(self, P, Q_affine, mask, sign=None,
@@ -231,6 +251,219 @@ class TCurve:
         if sign is not None:
             Y2 = jnp.where((sign != 0)[None, :], self._neg(Y2), Y2)
         new = self._add_mixed_impl(P, (X2, Y2), use_pallas)
+        return self.select(mask, new, P)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def add(self, P, Q, use_pallas: bool = True):
+        use_pallas = use_pallas and jax.default_backend() != "cpu"
+        return self._add_impl(P, Q, use_pallas)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def double(self, P, use_pallas: bool = True):
+        use_pallas = use_pallas and jax.default_backend() != "cpu"
+        return self._double_impl(P, use_pallas)
+
+
+class TCurve2:
+    """a=0 curve ops over Fp2 on transposed plane tuples — the G2 MSM hot
+    path (≙ ICICLE's G2 device MSM, reference icicle.go:377-393).
+
+    POINT LAYOUT: flat tuples of (K, N) int32 planes —
+    projective (x0, x1, y0, y1, z0, z1), affine (x0, x1, y0, y1) — so the
+    MSM kernel's generic tuple machinery (suffix scans, rolls, selects,
+    packing) works unchanged; only the group law regroups planes into Fp2
+    pairs. Each Fp2 mont_mul is ONE fused Pallas kernel (3 base muls +
+    Karatsuba recombination in VMEM, separate c0/c1 plane refs — the
+    round-2 packed-(2K,B)-tile layout paid ~2x in Mosaic sublane slicing
+    and is retired)."""
+
+    _cache: dict = {}
+
+    def __new__(cls, F: LimbField, beta: int, b3_host, block_n: int = 2048):
+        key = ("tcurve2", F.modulus, beta, b3_host, block_n)
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        cls._cache[key] = self
+        return self
+
+    def __init__(self, F: LimbField, beta: int, b3_host, block_n: int = 2048):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.F = F
+        self.t = TFieldOps(F)
+        self.t2 = TField2Ops(self.t, beta)
+        self.K = F.K
+        self.block_n = block_n
+        R = 1 << (16 * F.K)
+        self.b3_mont = tuple(c * R % F.modulus for c in b3_host)  # (c0, c1)
+        self.one_mont = R % F.modulus
+
+    # -- constructors --------------------------------------------------------
+    def _const_col(self, v: int):
+        K = self.K
+        return jnp.asarray(
+            [[(v >> (16 * i)) & 0xFFFF] for i in range(K)], jnp.int32
+        )
+
+    def identity(self, n: int):
+        K = self.K
+        z = jnp.zeros((K, n), jnp.int32)
+        one = jnp.broadcast_to(self._const_col(self.one_mont), (K, n))
+        return (z, z, one.astype(jnp.int32), z, z, z)
+
+    def select(self, mask, P, Q):
+        return tuple(jnp.where(mask[None, :], a, b) for a, b in zip(P, Q))
+
+    # -- Fp2 ops on plane pairs ----------------------------------------------
+    def _mul(self, x, y, use_pallas: bool):
+        """x, y: (c0, c1) plane pairs."""
+        if not use_pallas:
+            t = self.t
+            rows = self.t2.mul_rows2(
+                (t.to_rows(x[0]), t.to_rows(x[1])),
+                (t.to_rows(y[0]), t.to_rows(y[1])),
+            )
+            return (t.from_rows(rows[0]), t.from_rows(rows[1]))
+        K = self.K
+        bn = self.block_n
+        n = x[0].shape[1]
+        rem = (-n) % bn
+        ins = [x[0], x[1], y[0], y[1]]
+        if rem:
+            ins = [jnp.pad(a, ((0, 0), (0, rem))) for a in ins]
+        out = pl.pallas_call(
+            partial(_mul2_kernel, self.t2),
+            grid=((n + rem) // bn,),
+            in_specs=[pl.BlockSpec((K, bn), lambda i: (0, i))] * 4,
+            out_specs=[pl.BlockSpec((K, bn), lambda i: (0, i))] * 2,
+            out_shape=[jax.ShapeDtypeStruct((K, n + rem), jnp.int32)] * 2,
+        )(*ins)
+        if rem:
+            out = [o[:, :n] for o in out]
+        return (out[0], out[1])
+
+    def _addf(self, x, y):
+        t = self.t
+        return tuple(
+            t.from_rows(t.add_rows(t.to_rows(a), t.to_rows(b)))
+            for a, b in zip(x, y)
+        )
+
+    def _subf(self, x, y):
+        t = self.t
+        return tuple(
+            t.from_rows(t.sub_rows(t.to_rows(a), t.to_rows(b)))
+            for a, b in zip(x, y)
+        )
+
+    def _negf(self, y):
+        t = self.t
+        out = []
+        for a in y:
+            rows = t.to_rows(a)
+            zero = [jnp.zeros_like(r) for r in rows]
+            out.append(t.from_rows(t.sub_rows(zero, rows)))
+        return tuple(out)
+
+    def _b3(self, n):
+        return tuple(
+            jnp.broadcast_to(self._const_col(c), (self.K, n)).astype(jnp.int32)
+            for c in self.b3_mont
+        )
+
+    # -- group law (same RCB16 schedules as TCurve, Fp2 operands) ------------
+    def _add_mixed_impl(self, P, Q, use_pallas):
+        X1 = (P[0], P[1]); Y1 = (P[2], P[3]); Z1 = (P[4], P[5])
+        X2 = (Q[0], Q[1]); Y2 = (Q[2], Q[3])
+        mul = partial(self._mul, use_pallas=use_pallas)
+        add, sub = self._addf, self._subf
+        b3 = self._b3(P[0].shape[1])
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        t3 = mul(add(X1, Y1), add(X2, Y2))
+        t3 = sub(t3, add(t0, t1))
+        t4 = add(mul(Y2, Z1), Y1)
+        Y3 = add(mul(X2, Z1), X1)
+        t0 = add(add(t0, t0), t0)
+        t2 = mul(b3, Z1)
+        Z3 = add(t1, t2)
+        t1 = sub(t1, t2)
+        Y3 = mul(b3, Y3)
+        X3 = sub(mul(t3, t1), mul(t4, Y3))
+        Y3 = add(mul(Y3, t0), mul(t1, Z3))
+        Z3 = add(mul(Z3, t4), mul(t0, t3))
+        return X3 + Y3 + Z3  # flat 6-tuple
+
+    def _add_impl(self, P, Q, use_pallas):
+        X1 = (P[0], P[1]); Y1 = (P[2], P[3]); Z1 = (P[4], P[5])
+        X2 = (Q[0], Q[1]); Y2 = (Q[2], Q[3]); Z2 = (Q[4], Q[5])
+        mul = partial(self._mul, use_pallas=use_pallas)
+        add, sub = self._addf, self._subf
+        b3 = self._b3(P[0].shape[1])
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        t2 = mul(Z1, Z2)
+        t3 = mul(add(X1, Y1), add(X2, Y2))
+        t3 = sub(t3, add(t0, t1))
+        t4 = mul(add(Y1, Z1), add(Y2, Z2))
+        t4 = sub(t4, add(t1, t2))
+        Y3 = mul(add(X1, Z1), add(X2, Z2))
+        Y3 = sub(Y3, add(t0, t2))
+        t0 = add(add(t0, t0), t0)
+        t2 = mul(b3, t2)
+        Z3 = add(t1, t2)
+        t1 = sub(t1, t2)
+        Y3 = mul(b3, Y3)
+        X3 = sub(mul(t3, t1), mul(t4, Y3))
+        Y3 = add(mul(Y3, t0), mul(t1, Z3))
+        Z3 = add(mul(Z3, t4), mul(t0, t3))
+        return X3 + Y3 + Z3
+
+    def _double_impl(self, P, use_pallas):
+        X = (P[0], P[1]); Y = (P[2], P[3]); Z = (P[4], P[5])
+        mul = partial(self._mul, use_pallas=use_pallas)
+        add, sub = self._addf, self._subf
+        b3 = self._b3(P[0].shape[1])
+        t0 = mul(Y, Y)
+        Z3 = add(t0, t0)
+        Z3 = add(Z3, Z3)
+        Z3 = add(Z3, Z3)
+        t1 = mul(Y, Z)
+        t2 = mul(b3, mul(Z, Z))
+        X3 = mul(t2, Z3)
+        Y3 = add(t0, t2)
+        Z3 = mul(t1, Z3)
+        t1 = add(t2, t2)
+        t2 = add(t1, t2)
+        t0 = sub(t0, t2)
+        Y3 = add(mul(t0, Y3), X3)
+        t1 = mul(X, Y)
+        X3 = mul(t0, t1)
+        X3 = add(X3, X3)
+        return X3 + Y3 + Z3
+
+    def neg_point(self, P):
+        neg_y = self._negf((P[2], P[3]))
+        return (P[0], P[1], neg_y[0], neg_y[1], P[4], P[5])
+
+    def to_curve_tree(self, flat):
+        """Flat 6-plane tuple -> DevCurve G2 pytree ((x0,x1),(y0,y1),(z0,z1))."""
+        return ((flat[0], flat[1]), (flat[2], flat[3]), (flat[4], flat[5]))
+
+    # -- public ops ----------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 5))
+    def add_mixed_masked(self, P, Q_affine, mask, sign=None,
+                         use_pallas: bool = True):
+        use_pallas = use_pallas and jax.default_backend() != "cpu"
+        Q = Q_affine
+        if sign is not None:
+            ny = self._negf((Q[2], Q[3]))
+            sel = (sign != 0)[None, :]
+            Q = (Q[0], Q[1],
+                 jnp.where(sel, ny[0], Q[2]), jnp.where(sel, ny[1], Q[3]))
+        new = self._add_mixed_impl(P, Q, use_pallas)
         return self.select(mask, new, P)
 
     @partial(jax.jit, static_argnums=(0, 3))

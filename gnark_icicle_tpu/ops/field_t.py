@@ -245,6 +245,62 @@ class TFieldOps:
 
 
 # ---------------------------------------------------------------------------
+# Fp2 on separate (K, B) c0/c1 planes (the G2 hot path). The round-2
+# attempt packed both components into one (2K, B) tile and paid ~2x in
+# Mosaic sublane slicing (ROADMAP #2); separate plane refs keep every op on
+# aligned full tiles. One fused kernel runs the whole Karatsuba product
+# (3 base muls + the β recombination) in VMEM.
+# ---------------------------------------------------------------------------
+
+class TField2Ops:
+    """Fp2 = Fp[u]/(u² − β) helpers on PAIRS of (K, B) plane rows.
+
+    β is a small negative integer (−1 for BN254, −5 for BLS12-377); the
+    β·m1 term is computed with shift-adds, never a mul."""
+
+    def __init__(self, base: TFieldOps, beta: int):
+        assert beta < 0, "tower β must be a small negative integer"
+        self.base = base
+        self.beta = beta
+
+    def _beta_mag_mul(self, rows):
+        """|β| · rows via double-and-add (|β| is tiny: 1 or 5)."""
+        t = self.base
+        mag = -self.beta
+        out = None
+        acc = rows
+        while mag:
+            if mag & 1:
+                out = acc if out is None else t.add_rows(out, acc)
+            mag >>= 1
+            if mag:
+                acc = t.add_rows(acc, acc)
+        return out
+
+    def mul_rows2(self, a, b, mul_rows=None):
+        """(a0,a1)·(b0,b1): Karatsuba — 3 base muls.
+        c0 = m0 + β·m1, c1 = (a0+a1)(b0+b1) − m0 − m1."""
+        t = self.base
+        mul = mul_rows or t.mul_rows
+        a0, a1 = a
+        b0, b1 = b
+        m0 = mul(a0, b0)
+        m1 = mul(a1, b1)
+        m2 = mul(t.add_rows(a0, a1), t.add_rows(b0, b1))
+        c1 = t.sub_rows(t.sub_rows(m2, m0), m1)
+        c0 = t.sub_rows(m0, self._beta_mag_mul(m1))
+        return (c0, c1)
+
+    def add_rows2(self, a, b):
+        t = self.base
+        return (t.add_rows(a[0], b[0]), t.add_rows(a[1], b[1]))
+
+    def sub_rows2(self, a, b):
+        t = self.base
+        return (t.sub_rows(a[0], b[0]), t.sub_rows(a[1], b[1]))
+
+
+# ---------------------------------------------------------------------------
 # standalone fused kernels (tests / NTT use); the EC kernels inline the ops
 # ---------------------------------------------------------------------------
 

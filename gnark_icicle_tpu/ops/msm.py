@@ -194,15 +194,21 @@ class MSMKernel:
         Points are gathered PACKED — two 16-bit limbs per int32, 64 B per
         (x‖y) row instead of 128 B: the on-chip gather is per-row-overhead
         bound (probe: 26 M rows/s at 128 B vs 44.6 M at 64 B), so packing
-        is a ~1.7x win on the wave phase's dominant non-compute cost."""
+        is a ~1.7x win on the wave phase's dominant non-compute cost.
+
+        `points` is the affine pytree; its leaves (G1: x, y — G2: the
+        x/y c0/c1 planes) are flattened into one packed row per point and
+        the kernel's plane tuple is rebuilt after the gather."""
         K = tc.K
         K2 = K // 2
+        planes = jax.tree.leaves(points)
+        n_planes = len(planes)
 
         def pack(a):  # (N, K) 16-bit limbs -> (N, K/2) packed u32
             a = a.astype(jnp.uint32)
             return (a[:, 0::2] | (a[:, 1::2] << 16)).astype(jnp.int32)
 
-        packed = jnp.concatenate([pack(points[0]), pack(points[1])], axis=1)
+        packed = jnp.concatenate([pack(p) for p in planes], axis=1)
         acc = tc.identity(L)
 
         def make_wave(S, meta):
@@ -219,10 +225,12 @@ class MSMKernel:
                 valid = t < counts_s
                 flat_idx = win_s * n + idx_sorted
                 pt_idx = order_flat[flat_idx]
-                g = packed[pt_idx]                # (S, K) 64B row gather
+                g = packed[pt_idx]                # (S, planes·K/2) row gather
                 gt = jnp.transpose(g, (1, 0)).astype(jnp.uint32)
-                q = (unpack(gt[:K2]).astype(jnp.int32),
-                     unpack(gt[K2:]).astype(jnp.int32))
+                q = tuple(
+                    unpack(gt[i * K2:(i + 1) * K2]).astype(jnp.int32)
+                    for i in range(n_planes)
+                )
                 sg = sign_flat[flat_idx].astype(jnp.int32)
                 return t + 1, tc.add_mixed_masked(acc_s, q, valid, sg)
 
@@ -353,8 +361,7 @@ class MSMKernel:
         s1 = self._suffix_scan_t(tc, T, V)
         sum_t = lane0(s1)                                 # Σ_v T_v
         w_t = lane0(self._suffix_scan_t(tc, s1, V))       # Σ_v (v+1)·T_v
-        hi = tc.add(flat(w_t),
-                    flat((sum_t[0], tc._neg(sum_t[1]), sum_t[2])))
+        hi = tc.add(flat(w_t), flat(tc.neg_point(sum_t)))
 
         def dbl(x, _):
             return tc.double(x), None
@@ -439,22 +446,32 @@ class MSMKernel:
         # G1 on TPU: accumulators live as (K, L) transposed limb arrays and
         # each wave step is ONE fused Pallas add_mixed kernel (sign + mask
         # folded in) — ~7x the (N, K) jnp field-op rate.
-        from .ec import DevField
+        from .ec import DevField, DevField2
 
+        is_fp2 = isinstance(curve.f, DevField2)
+        t_flag = os.environ.get("GNARK_TPU_T_MSM", "1")
         use_t = (
-            isinstance(curve.f, DevField)
-            and os.environ.get("GNARK_TPU_T_MSM", "1") != "0"
-            and jax.default_backend() == "tpu"
+            (isinstance(curve.f, DevField) or is_fp2)
+            and t_flag != "0"
+            # "force": exercise the transposed path on CPU too (its Pallas
+            # kernels fall back to the identical traced row code there) —
+            # the bit-exactness tests use this
+            and (jax.default_backend() == "tpu" or t_flag == "force")
         )
         if use_t:
-            from .ec_t import TCurve
+            from .ec_t import TCurve, TCurve2
 
-            tc = TCurve(self.curve.f.F, self.curve.b3_host)
+            if is_fp2:
+                tc = TCurve2(self.curve.f.F, self.curve.f.beta,
+                             tuple(self.curve.b3_host))
+            else:
+                tc = TCurve(self.curve.f.F, self.curve.b3_host)
             buckets_t = self._wave_accumulate_t(
                 tc, points, order_flat, sign_flat, starts_p, counts_p,
                 win_of_lane, stage_sizes, n, L, inv_order,
             )
             per_window = self._bucket_reduce_t(tc, buckets_t, W, B)
+            per_window = tc.to_curve_tree(per_window)  # DevCurve pytree shape
             acc = jax.tree.map(lambda a: a[W - 1], per_window)
             if W > 1:
                 tail = jax.tree.map(lambda a: a[W - 2 :: -1], per_window)

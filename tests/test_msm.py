@@ -146,3 +146,25 @@ def test_msm_g2_infinity_and_zero():
     got = msm_host(G2_DEV, bn254.FR, pts, scalars)
     want = host_msm(bn254.G2, scalars, pts)
     assert got == want
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_msm_transposed_path_bit_exact(group, monkeypatch):
+    """The transposed staged-wave path (TCurve/TCurve2 + packed gathers)
+    must match the host oracle on CPU (GNARK_TPU_T_MSM=force traces the
+    identical row code without pallas_call). G2 exercises the Fp2 plane
+    layout (VERDICT r2 item 3 — the G2 device path)."""
+    monkeypatch.setenv("GNARK_TPU_T_MSM", "force")
+    rng = random.Random(999)
+    n = 33
+    if group == "g1":
+        dev, host = G1_DEV, bn254.G1
+    else:
+        dev, host = G2_DEV, bn254.G2
+    pts = [host.random_point(rng) for _ in range(n)]
+    pts[2] = None                     # infinity lane
+    scalars = [rng.randrange(bn254.R) for _ in range(n)]
+    scalars[5] = 0                    # zero-scalar lane
+    got = msm_host(dev, bn254.FR, pts, scalars)
+    want = host_msm(host, scalars, pts)
+    assert got == want

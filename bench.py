@@ -111,6 +111,8 @@ def main():
         return bench_ntt(log_n, iters)
     if metric == "groth16":
         return bench_groth16(log_n, iters)
+    if metric == "msm_g2":
+        return bench_msm_g2(log_n, iters)
 
     import jax.numpy as jnp
 
@@ -155,6 +157,68 @@ def main():
     _emit(f"msm_g1_bn254_2^{log_n}", n / best, "points/s")
 
 
+def bench_msm_g2(log_n: int, iters: int):
+    """G2 MSM throughput (BENCH_METRIC=msm_g2) — the Bs2 proof element's
+    kernel (≙ MsmG2OnDevice, reference icicle.go:377-393). Random distinct
+    points P_i = k_i·G2 via the device fixed-base ladder; the result is
+    verified against (Σ s_i·k_i)·G2 on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.device import DeviceCtx
+    from gnark_icicle_tpu.ops.fixed_base import FixedBaseMul, batch_normalize
+    from gnark_icicle_tpu.ops.msm import pick_window
+
+    n = 1 << log_n
+    ctx = DeviceCtx(bn254.BN254)
+    nprng = np.random.default_rng(13)
+    ks = nprng.integers(1, 1 << 32, size=n, dtype=np.int64)
+    fb = FixedBaseMul(ctx.msm_g2.curve, bn254.G2, bn254.G2.generator, 32)
+    chunk = min(n, 1 << 18)
+    parts = []
+    for lo in range(0, n, chunk):
+        kl = np.zeros((min(chunk, n - lo), 2), dtype=np.int32)
+        kk = ks[lo : lo + chunk]
+        kl[:, 0] = kk & 0xFFFF
+        kl[:, 1] = (kk >> 16) & 0xFFFF
+        pts, inf = batch_normalize(ctx.msm_g2.curve, fb.mul(jnp.asarray(kl)))
+        assert not bool(jnp.any(inf))
+        parts.append(pts)
+    if len(parts) > 1:
+        pts = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+    else:
+        pts = parts[0]
+    jax.block_until_ready(pts)
+    inf_d = jnp.zeros(n, dtype=bool)
+
+    scal = nprng.integers(0, 1 << 16, size=(n, ctx.fr_dev.K), dtype=np.int32)
+    scal[:, -1] &= 0x3FFF
+    c = pick_window(n)
+    kern = ctx.msm_g2
+    res = kern.msm(pts, inf_d, jnp.asarray(scal), c)
+    jax.block_until_ready(res)
+    times = []
+    for i in range(iters):
+        scal[0, 0] = (scal[0, 0] + 1) & 0xFFFF
+        scal_d = jnp.asarray(scal)
+        t0 = time.perf_counter()
+        res = kern.msm(pts, inf_d, scal_d, c)
+        got_host = ctx.g2_to_host(res)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    q = bn254.R
+    pw = [pow(2, 16 * j, q) for j in range(scal.shape[1])]
+    total = 0
+    cols = scal.astype(object)
+    for j in range(scal.shape[1]):
+        total += int((cols[:, j] * ks.astype(object)).sum()) * pw[j]
+    want = bn254.G2.scalar_mul(bn254.G2.generator, total % q)
+    assert got_host == want, "bench G2 MSM result failed verification"
+    _emit(f"msm_g2_bn254_2^{log_n}", n / best, "points/s")
+
+
 def bench_ntt(log_n: int, iters: int):
     """Secondary metric: BN254-fr forward NTT throughput (BENCH_METRIC=ntt).
 
@@ -185,22 +249,32 @@ def bench_ntt(log_n: int, iters: int):
         ctx.fr_mont(np.array([[i] + [0] * (ctx.fr_dev.K - 1)], np.int32))[0]
         for i in range(iters + 1)
     ]
+    # Timed transform: the PERMUTATION-FREE forward NTT (natural ->
+    # bit-reversed). This is the op production pipelines dispatch — the
+    # prover pairs rev-in/rev-out transforms so no bit-reversal gather is
+    # ever materialized (ops/ntt.py module docstring; ≙ the reference
+    # avoiding ReverseScalars) — and at 2^24 the eager bit-reverse's
+    # extra 2 GB of buffers would not fit HBM alongside the working set.
     perturb = jax.jit(lambda b, d: b.at[0].set(ctx.fr_dev.add(b[0], d)))
-    res = dom.ntt(perturb(base, deltas[-1]))
+    res = dom.ntt_nat_to_rev(perturb(base, deltas[-1]))
     jax.block_until_ready(res)
     times = []
     for i in range(iters):
         v = perturb(base, deltas[i])
         jax.block_until_ready(v)
         t0 = time.perf_counter()
-        res = dom.ntt(v)
+        res = dom.ntt_nat_to_rev(v)
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
     best = min(times)
 
-    # spot-check one output coefficient against host Horner
+    # spot-check one output coefficient against host Horner:
+    # nat_to_rev output at index j = p(omega^bitrev(j))
+    from gnark_icicle_tpu.ops.ntt import bitrev_indices
+
     q = bn254.R
     j = random.Random(5).randrange(n)
+    jr = int(bitrev_indices(n)[j])
     got_j = ctx.fr_dev.decode(np.asarray(res[j : j + 1]))[0]
     vals = [
         int.from_bytes(
@@ -210,7 +284,7 @@ def bench_ntt(log_n: int, iters: int):
         for i in range(n)
     ]
     vals[0] = (vals[0] + iters - 1) % q  # the device-side perturbation
-    wj = pow(bn254.FR.root_of_unity(log_n), j, q)
+    wj = pow(bn254.FR.root_of_unity(log_n), jr, q)
     want = 0
     for c in reversed(vals):
         want = (want * wj + c) % q
@@ -248,7 +322,7 @@ def bench_groth16(log_n: int, iters: int):
 
     t0 = time.perf_counter()
     cs = compile_circuit(q, Chain)
-    logger.info("bench_groth16: compiled %d constraints in %.1fs",
+    logger().info("bench_groth16: compiled %d constraints in %.1fs",
                 cs.nb_constraints, time.perf_counter() - t0)
 
     x0 = 3
@@ -259,7 +333,7 @@ def bench_groth16(log_n: int, iters: int):
 
     t0 = time.perf_counter()
     pk, vk = groth16.setup(cs, bn254.BN254, rng=random.Random(1))
-    logger.info("bench_groth16: setup in %.1fs", time.perf_counter() - t0)
+    logger().info("bench_groth16: setup in %.1fs", time.perf_counter() - t0)
 
     rng = random.Random(2)
     proof = groth16.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)  # warmup

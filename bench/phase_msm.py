@@ -121,13 +121,16 @@ def main():
         stage_sizes = [L]
 
     # ---- phase B ----------------------------------------------------------
+    # all large index arrays ride as ARGUMENTS (closure constants embed
+    # into the HLO module -> remote-compile 413 at 2^22)
     @jax.jit
-    def phase_b(px, py):
+    def phase_b(px, py, of, sf, sp, cp, wl, io):
         return kern._wave_accumulate_t(
-            tc, (px, py), order_flat, sign_flat, starts_p, counts_p,
-            win_of_lane, tuple(stage_sizes), n, L, inv_order)
+            tc, (px, py), of, sf, sp, cp, wl, tuple(stage_sizes), n, L, io)
 
-    pt_vars = [(jnp.asarray(rnd_limbs((n, K))), jnp.asarray(rnd_limbs((n, K))))
+    pt_vars = [(jnp.asarray(rnd_limbs((n, K))), jnp.asarray(rnd_limbs((n, K))),
+                order_flat, sign_flat, starts_p, counts_p, win_of_lane,
+                inv_order)
                for _ in range(3)]
     t_b = timed(phase_b, pt_vars)
     print(json.dumps({"phase": "B_waves", "log_n": log_n, "s": round(t_b, 3),

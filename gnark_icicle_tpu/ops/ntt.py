@@ -87,11 +87,9 @@ class Domain:
         if self.n > 1:
             assert pow(two_adic_root, self.n // 2, q) == q - 1
 
-        w = jnp.asarray(F.encode([two_adic_root])[0], dtype=I32)
-        wi = jnp.asarray(F.encode([pow(two_adic_root, -1, q)])[0], dtype=I32)
-        half = max(self.n // 2, 1)
-        self.tw_fwd = _pow_table(F, w, half)  # (N/2, K)
-        self.tw_inv = _pow_table(F, wi, half)
+        # twiddle tables build lazily on first use: each is 0.5 GB at 2^24,
+        # and a forward-only workload must not pay for the inverse table
+        self._tw = {}
         self.n_inv = jnp.asarray(F.encode([pow(self.n, -1, q)])[0], dtype=I32)
 
         # MXU twiddle-matmul path (ops/mxu_field.py): stages whose twiddle
@@ -131,6 +129,22 @@ class Domain:
                                             axis=0)
             self._coset_inv_pows_rev = jnp.take(self.coset_inv_pows,
                                                 self._rev, axis=0)
+
+    @property
+    def tw_fwd(self):
+        if "f" not in self._tw:
+            w = jnp.asarray(self.F.encode([self.omega])[0], dtype=I32)
+            self._tw["f"] = _pow_table(self.F, w, max(self.n // 2, 1))
+        return self._tw["f"]
+
+    @property
+    def tw_inv(self):
+        if "i" not in self._tw:
+            q = self.F.modulus
+            wi = jnp.asarray(
+                self.F.encode([pow(self.omega, -1, q)])[0], dtype=I32)
+            self._tw["i"] = _pow_table(self.F, wi, max(self.n // 2, 1))
+        return self._tw["i"]
 
     # -- core butterflies ---------------------------------------------------
     # Transforms act along axis -2 of (..., n, K) arrays: leading axes are

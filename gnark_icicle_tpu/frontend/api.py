@@ -203,23 +203,70 @@ class Builder:
             acc = self.add(acc, self._scale(self._to_var(b), 1 << i))
         return acc
 
+    def _xor_or_const(self, cst: int, v: Var, is_xor: bool):
+        if cst not in (0, 1):
+            raise ValueError(f"xor/or with non-boolean constant {cst}")
+        self.assert_is_boolean(v)
+        if is_xor:
+            out = self.sub(1, v) if cst else v
+        else:
+            out = Var({0: 1}) if cst else v
+        self._mark_boolean(out)
+        return out
+
     def xor(self, a, b):
-        """a ⊕ b for booleans: a + b − 2ab."""
-        self.assert_is_boolean(a)
-        self.assert_is_boolean(b)
-        ab = self.mul(a, b)
-        return self.sub(self.add(a, b), self._scale(self._to_var(ab), 2))
+        """a ⊕ b for booleans, as a·(1−2b) + b with b the SHORTER operand
+        (≙ api.go:375-400): the product lands in ONE fresh wire, so the
+        result has ≤ len(b)+1 terms — composing xors (hash circuits) stays
+        bounded instead of growing the linear expression per level (the
+        naive a+b−2ab form made keccak-f compile superlinearly)."""
+        va, vb = self._to_var(a), self._to_var(b)
+        ca, cb = self.constant_value(va), self.constant_value(vb)
+        if ca is not None and cb is not None:
+            if ca not in (0, 1) or cb not in (0, 1):
+                raise ValueError("xor on non-boolean constants")
+            return Var({0: ca ^ cb})
+        if ca is not None:
+            return self._xor_or_const(ca, vb, True)
+        if cb is not None:
+            return self._xor_or_const(cb, va, True)
+        self.assert_is_boolean(va)
+        self.assert_is_boolean(vb)
+        if len(vb.terms) > len(va.terms):
+            va, vb = vb, va
+        t = self.sub(1, self._scale(vb, 2))
+        out = self.add(self._mul2(va, t), vb)
+        self._mark_boolean(out)
+        return out
 
     def and_(self, a, b):
         self.assert_is_boolean(a)
         self.assert_is_boolean(b)
-        return self.mul(a, b)
+        out = self.mul(a, b)
+        self._mark_boolean(self._to_var(out))
+        return out
 
     def or_(self, a, b):
-        self.assert_is_boolean(a)
-        self.assert_is_boolean(b)
-        ab = self.mul(a, b)
-        return self.sub(self.add(a, b), ab)
+        """a ∨ b as a·(1−b) + b (one product wire, bounded result —
+        ≙ api.go Or's same rewrite)."""
+        va, vb = self._to_var(a), self._to_var(b)
+        ca, cb = self.constant_value(va), self.constant_value(vb)
+        if ca is not None and cb is not None:
+            if ca not in (0, 1) or cb not in (0, 1):
+                raise ValueError("or on non-boolean constants")
+            return Var({0: ca | cb})
+        if ca is not None:
+            return self._xor_or_const(ca, vb, False)
+        if cb is not None:
+            return self._xor_or_const(cb, va, False)
+        self.assert_is_boolean(va)
+        self.assert_is_boolean(vb)
+        if len(vb.terms) > len(va.terms):
+            va, vb = vb, va
+        t = self.sub(1, vb)
+        out = self.add(self._mul2(va, t), vb)
+        self._mark_boolean(out)
+        return out
 
     # ------------------------------------------------------------------
     # conditionals
@@ -289,16 +336,25 @@ class Builder:
         self.inverse(self.sub(a, b))  # invertible ⇔ nonzero
 
     def _mark_boolean(self, v):
-        if isinstance(v, Var) and len(v.terms) == 1:
+        """Record a PROVEN-boolean value for assert dedup. Single wires are
+        keyed by id; linear combinations (xor/or outputs) by their frozen
+        term set (≙ builder.MarkBoolean, which stores the whole LinearExpr —
+        frontend/cs/r1cs/api.go:398)."""
+        if not isinstance(v, Var):
+            return
+        if len(v.terms) == 1:
             (w, c), = v.terms.items()
             if c == 1:
                 self._booleans.add(w)
+                return
+        self._booleans.add(frozenset(v.terms.items()))
 
     def _is_marked_boolean(self, v: Var) -> bool:
         if len(v.terms) == 1:
             (w, c), = v.terms.items()
-            return c == 1 and w in self._booleans
-        return False
+            if c == 1 and w in self._booleans:
+                return True
+        return frozenset(v.terms.items()) in self._booleans
 
     def assert_is_boolean(self, a):
         va = self._to_var(a)

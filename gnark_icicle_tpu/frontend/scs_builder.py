@@ -189,17 +189,45 @@ class ScsBuilder:
         self.assert_is_boolean(v)
         return v
 
-    def xor(self, a, b):
+    def _xor_or(self, a, b, qm_sign2: bool):
+        """xor (a+b−2ab−o=0) / or (a+b−ab−o=0) as ONE gate with a solved
+        output wire (≙ the reference scs builder's single-constraint Xor/Or,
+        frontend/cs/scs/api.go)."""
+        ca, cb = self.constant_value(a), self.constant_value(b)
+        if ca is not None and cb is not None:
+            if ca not in (0, 1) or cb not in (0, 1):
+                raise ValueError("xor/or on non-boolean constants")
+            return (ca ^ cb) if qm_sign2 else (ca | cb)
+        if ca is not None or cb is not None:
+            cst, v = (ca, b) if ca is not None else (cb, a)
+            if cst not in (0, 1):
+                raise ValueError("xor/or with non-boolean constant")
+            v = self._bool(v)
+            if cst == 0:
+                return v
+            return self.sub(1, v) if qm_sign2 else 1
         a, b = self._bool(a), self._bool(b)
-        ab = self.mul(a, b)
-        return self.sub(self.add(a, b), self.mul(2, ab))
+        o = self._new_wire()
+        k = 2 if qm_sign2 else 1
+        self.cs.add_gate(
+            a.wire, b.wire, o, ql=a.coeff, qr=b.coeff,
+            qm=(-k * a.coeff * b.coeff) % self.q, qo=-1, qc=0,
+            solved_wire=o,
+        )
+        out = SVar(1, o)
+        self._mark_boolean(out)
+        return out
+
+    def xor(self, a, b):
+        return self._xor_or(a, b, True)
 
     def and_(self, a, b):
-        return self.mul(self._bool(a), self._bool(b))
+        out = self.mul(self._bool(a), self._bool(b))
+        self._mark_boolean(out)
+        return out
 
     def or_(self, a, b):
-        a, b = self._bool(a), self._bool(b)
-        return self.sub(self.add(a, b), self.mul(a, b))
+        return self._xor_or(a, b, False)
 
     # -- conditionals -------------------------------------------------------------
     def select(self, cond, t, f):

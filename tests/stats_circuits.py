@@ -22,9 +22,11 @@ from gnark_icicle_tpu.std.polynomial import Polynomial
 from gnark_icicle_tpu.std.multicommit import with_commitment
 from gnark_icicle_tpu.std.eddsa import verify_signature
 from gnark_icicle_tpu.std.emulated import (
-    EmulatedField, SECP256K1_FP, BN254_FP,
+    EmulatedField, SECP256K1_FP, BN254_FP, BLS12381_FP,
 )
-from gnark_icicle_tpu.std.sw_emulated import EmulatedCurve, BN254G1, SECP256K1
+from gnark_icicle_tpu.std.sw_emulated import (
+    EmulatedCurve, BN254G1, SECP256K1, P256,
+)
 
 
 def _emu_binop(params, op):
@@ -37,6 +39,19 @@ def _emu_binop(params, op):
             f = EmulatedField(api, params, self._q)
             a, b = f.from_limbs(self.x), f.from_limbs(self.y)
             f.assert_equal(getattr(f, op)(a, b), f.from_limbs(self.z))
+
+    return C
+
+
+def _emu_unop(params, op):
+    class C(Circuit):
+        x = Secret(shape=params.n_limbs)
+        z = Public(shape=params.n_limbs)
+
+        def define(self, api):
+            f = EmulatedField(api, params, self._q)
+            a = f.from_limbs(self.x)
+            f.assert_equal(getattr(f, op)(a), f.from_limbs(self.z))
 
     return C
 
@@ -331,6 +346,18 @@ def gadget_corpus(q: int):
         "sw_emulated/secp256k1_add": _sw_op(SECP256K1, "add"),
         "sw_emulated/secp256k1_scalar_mul16": _sw_scalar_mul(SECP256K1, 16),
         "sw_emulated/bn254_scalar_mul16": _sw_scalar_mul(BN254G1, 16),
+        "std/mimc_multi8": _mimc(8),
+        "std/merkle_d24": _merkle(24),
+        "std/mux32": _mux(32),
+        "std/lookup_256x32": _lookup(256, 32),
+        "std/rangecheck_bits32": _range_bits(32),
+        "std/rangecheck_commit32": _range_commit(32),
+        "std/poly_eval_deg31": _poly_eval(31),
+        "std/partition_4of16": _partition(4, 16),
+        "emulated/bls12381fp_mul": _emu_binop(BLS12381_FP, "mul"),
+        "emulated/secp256k1_inv": _emu_unop(SECP256K1_FP, "inverse"),
+        "sw_emulated/p256_add": _sw_op(P256, "add"),
+        "sw_emulated/p256_on_curve": _sw_op(P256, "on_curve"),
     }
     for cls in out.values():
         cls._q = q

@@ -14,9 +14,16 @@ LOCKED = os.path.join(
 )
 
 
-def test_constraint_counts_locked():
+def _all_circuits():
+    from stats_circuits import gadget_corpus
+
     circuits = {name: cls for name, cls, _, _ in corpus(bn254.R)}
-    current = snapshot(circuits, bn254.R, "bn254")
+    circuits.update(gadget_corpus(bn254.R))
+    return circuits
+
+
+def test_constraint_counts_locked():
+    current = snapshot(_all_circuits(), bn254.R, "bn254")
     locked = from_csv(open(LOCKED).read())
     problems = diff(locked, current)
     assert not problems, (

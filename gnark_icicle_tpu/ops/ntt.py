@@ -284,20 +284,24 @@ class Domain:
     # tables as runtime ARGUMENTS: a table closed over inside a trace is
     # embedded into the HLO module as an inline constant — ~0.5 GB of
     # twiddles at 2^24, far past the remote-compile request limit.
-    @partial(jax.jit, static_argnums=(0, 3))
+    # The data operand (x) is DONATED: transforms consume their input
+    # buffer — at 2^24 a preserved 1 GB input pushes the stage working set
+    # past HBM. Callers must not reuse the argument array afterwards
+    # (donation is ignored on CPU).
+    @partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
     def _dif_jit(self, x, tw, tw_key):
         return self._dif(x, tw, tw_key)
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
     def _dit_jit(self, x, tw, tw_key):
         return self._dit(x, tw, tw_key)
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
     def _intt_dif_jit(self, x, tw, tw_key):
         x = self._dif(x, tw, tw_key)
         return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
     def _intt_dit_jit(self, x, tw, tw_key):
         x = self._dit(x, tw, tw_key)
         return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))
@@ -331,15 +335,15 @@ class Domain:
         return self.bit_reverse(self.intt_nat_to_rev(evals))
 
     # -- coset variants -------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
     def _scaled_dit_jit(self, x, scale, tw, tw_key):
         return self._dit(self.F.mont_mul(x, scale), tw, tw_key)
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
     def _scaled_dif_jit(self, x, scale, tw, tw_key):
         return self._dif(self.F.mont_mul(x, scale), tw, tw_key)
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
     def _unscale_jit(self, x, scale):
         x = self.F.mont_mul(x, scale)
         return self.F.mont_mul(x, jnp.broadcast_to(self.n_inv, x.shape))

@@ -57,7 +57,9 @@ def test_rev_order_consistency():
     vals = [rng.randrange(q) for _ in range(n)]
     dom = domain_for(F, FR, log_n)
     X = F.encode(vals)
-    rev_out = np.asarray(dom.ntt_nat_to_rev(X))
+    import jax.numpy as jnp
+
+    rev_out = np.asarray(dom.ntt_nat_to_rev(jnp.array(X)))  # donated copy
     nat_out = np.asarray(dom.ntt(X))
     perm = bitrev_indices(n)
     assert np.array_equal(rev_out[perm], nat_out)

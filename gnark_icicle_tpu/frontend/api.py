@@ -36,9 +36,12 @@ class Var:
 class Builder:
     """frontend.API + Compiler for R1CS (≙ r1cs.NewBuilder's builder)."""
 
-    def __init__(self, field_modulus: int):
+    def __init__(self, field_modulus: int,
+                 compress_threshold: int = 300):
         self.cs = R1CS(field_modulus)
         self.q = field_modulus
+        # ≙ frontend.WithCompressThreshold (default 300, compile.go:149)
+        self.compress_threshold = compress_threshold
         self._booleans: set[int] = set()  # wire ids proven boolean
 
     # ------------------------------------------------------------------
@@ -85,19 +88,37 @@ class Builder:
     # ------------------------------------------------------------------
     # linear ops (no constraints emitted)
     # ------------------------------------------------------------------
+    def _compress(self, out: dict) -> "Var":
+        """If a linear expression grew past the compress threshold,
+        materialize it into ONE wire via LE·1 = t (≙ builder.compress,
+        reference frontend/cs/r1cs/builder.go:461-474, default threshold
+        300 — frontend/compile.go:149). Without this, patterns like
+        v = add(mul(v,v), v, i) grow the expression by O(1) terms per
+        step and compilation goes quadratic (measured 4x time per 2x
+        constraints on the 2^k chain benchmark)."""
+        if len(out) < self.compress_threshold:
+            return Var(out)
+        wid, t = self._new_wire_var()
+        self.cs.add_r1c(
+            sorted(((self.cs.coeff_id(c), w) for w, c in out.items()),
+                   key=lambda t_: t_[1]),
+            [(COEFF_ONE, 0)], self._terms_list(t), solved_wire=wid,
+        )
+        return t
+
     def add(self, a, b, *rest):
         out = dict(self._to_var(a).terms)
         for v in (b, *rest):
             for w, c in self._to_var(v).terms.items():
                 out[w] = (out.get(w, 0) + c) % self.q
-        return Var(out)
+        return self._compress(out)
 
     def sub(self, a, b, *rest):
         out = dict(self._to_var(a).terms)
         for v in (b, *rest):
             for w, c in self._to_var(v).terms.items():
                 out[w] = (out.get(w, 0) - c) % self.q
-        return Var(out)
+        return self._compress(out)
 
     def neg(self, a):
         return Var({w: (-c) % self.q for w, c in self._to_var(a).terms.items()})

@@ -457,6 +457,7 @@ class Builder:
         vs = list(vs) + [mask]
 
         existing = [c.commitment_index for c in self.cs.commitments]
+        existing_set = set(existing)
         committed_by = {}  # private wire id -> index of committing commitment
         for ci, c in enumerate(self.cs.commitments):
             for w in c.private_committed:
@@ -473,12 +474,15 @@ class Builder:
         public_committed = set()
         commitment_committed = set()
         private_committed = set()
-        pending = sorted(worklist)
+        from collections import deque
+
+        pending = deque(sorted(worklist))
         while pending:
-            w = pending.pop(0)
+            w = pending.popleft()  # deque: list.pop(0) is O(n) and the
+            # multicommit path commits to ~1e6 wires (mulcheck operands)
             if w < nb_pub:
                 public_committed.add(w)
-            elif w in existing:
+            elif w in existing_set:
                 commitment_committed.add(w)
             elif w in committed_by:
                 # commit to the earlier commitment instead of double-binding

@@ -260,25 +260,36 @@ def bench_ntt(log_n: int, iters: int):
     # avoiding ReverseScalars) — and at 2^24 the eager bit-reverse's
     # extra 2 GB of buffers would not fit HBM alongside the working set.
     perturb = jax.jit(lambda b, d: b.at[0].set(ctx.fr_dev.add(b[0], d)))
-    res = dom.ntt_nat_to_rev(perturb(base, deltas[-1]))
+    if log_n >= 23:
+        # the monolithic stage graph exceeds HBM past 2^23 — production
+        # uses the chunked 4-step engine there (ops/ntt.py FourStepNTT)
+        from gnark_icicle_tpu.ops.ntt import FourStepNTT
+
+        fs = FourStepNTT(ctx.fr_dev, log_n, bn254.FR.root_of_unity(log_n))
+        transform = fs.ntt
+        rev_out = False
+    else:
+        transform = dom.ntt_nat_to_rev
+        rev_out = True
+    res = transform(perturb(base, deltas[-1]))
     jax.block_until_ready(res)
     times = []
     for i in range(iters):
         v = perturb(base, deltas[i])
         jax.block_until_ready(v)
         t0 = time.perf_counter()
-        res = dom.ntt_nat_to_rev(v)
+        res = transform(v)
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
     best = min(times)
 
     # spot-check one output coefficient against host Horner:
-    # nat_to_rev output at index j = p(omega^bitrev(j))
+    # nat_to_rev output at index j = p(omega^bitrev(j)); 4-step is natural
     from gnark_icicle_tpu.ops.ntt import bitrev_indices
 
     q = bn254.R
     j = random.Random(5).randrange(n)
-    jr = int(bitrev_indices(n)[j])
+    jr = int(bitrev_indices(n)[j]) if rev_out else j
     got_j = ctx.fr_dev.decode(np.asarray(res[j : j + 1]))[0]
     vals = [
         int.from_bytes(

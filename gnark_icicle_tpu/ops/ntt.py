@@ -379,3 +379,131 @@ def domain_for(F: LimbField, prime_field, log_n: int, coset: bool = False) -> Do
     root = prime_field.root_of_unity(log_n)
     gen = prime_field.multiplicative_generator if coset else None
     return Domain(F, log_n, root, gen)
+
+
+class FourStepNTT:
+    """Single-device CHUNKED 4-step NTT: N = N1·N2 as column transforms
+    (chunked over rows) + twiddle grid + row transforms — for sizes whose
+    monolithic 2·log₂N-stage graph exceeds HBM (2^24: the stage temps of
+    the one-jit butterfly engine ResourceExhaust a 16 GB chip; here peak
+    memory is ~3 full-size buffers + the resident twiddle grid).
+
+    Same mathematics as the multi-chip ShardedNTT (parallel/ntt.py) with
+    python-loop chunks in place of mesh shards; natural order in and out.
+    Role parity: ICICLE's large-N mixed-radix NTT (icicle ntt.cu) — the
+    reference's device NTT also decomposes past the single-kernel size.
+    """
+
+    _cache: dict = {}
+
+    def __new__(cls, F: LimbField, log_n: int, two_adic_root: int,
+                n_chunks: int = 8):
+        key = ("4step", F.modulus, log_n, n_chunks)
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        cls._cache[key] = self
+        return self
+
+    def __init__(self, F: LimbField, log_n: int, two_adic_root: int,
+                 n_chunks: int = 8):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self.F = F
+        self.log_n = log_n
+        self.n = 1 << log_n
+        q = F.modulus
+        self.q = q
+        self.omega = two_adic_root
+        log_n1 = log_n // 2
+        self.n1 = 1 << log_n1
+        self.n2 = self.n // self.n1
+        self.n_chunks = n_chunks
+        assert self.n2 % n_chunks == 0 and self.n1 % n_chunks == 0
+        self.dom1 = Domain(F, log_n1, pow(two_adic_root, self.n2, q))
+        self.dom2 = Domain(F, log_n - log_n1,
+                           pow(two_adic_root, self.n1, q))
+        self.n_inv = jnp.asarray(F.encode([pow(self.n, -1, q)])[0],
+                                 dtype=I32)
+        self._grid = {}  # inverse -> (n2, n1, K) resident twiddle grid
+
+    def grid(self, inverse: bool):
+        """T[j2, k1] = ω^(±j2·k1), built on device chunk by chunk."""
+        if inverse in self._grid:
+            return self._grid[inverse]
+        F = self.F
+        w = self.omega if not inverse else pow(self.omega, -1, self.q)
+        bases = _pow_table(
+            F, jnp.asarray(F.encode([w])[0], dtype=I32), self.n2
+        )  # (n2, K): ω^j2
+
+        @partial(jax.jit, static_argnums=1)
+        def build(b_local, n1):
+            table = F.ones_mont((b_local.shape[0], 1)).astype(I32)
+            cur = b_local[:, None, :]
+            while table.shape[1] < n1:
+                nxt = F.mont_mul(table, jnp.broadcast_to(cur, table.shape))
+                table = jnp.concatenate([table, nxt], axis=1)
+                cur = F.mont_mul(cur, cur)
+            return table[:, :n1]
+
+        rows = self.n2 // self.n_chunks
+        parts = [
+            build(bases[lo : lo + rows], self.n1)
+            for lo in range(0, self.n2, rows)
+        ]
+        g = jnp.concatenate(parts, axis=0)
+        self._grid[inverse] = g
+        return g
+
+    @partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
+    def _col_chunk(self, rows, g_rows, inverse: bool):
+        """(chunk, n1, K) rows: column NTT along axis -2 + twiddle mul."""
+        d = self.dom1
+        tw = d.tw_inv if inverse else d.tw_fwd
+        y = d.bit_reverse(d._dif(rows, tw, "i" if inverse else "f"))
+        return self.F.mont_mul(y, g_rows)
+
+    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+    def _row_chunk(self, rows, inverse: bool):
+        """(chunk, n2, K) rows: row NTT along axis -2 (+ 1/N on inverse)."""
+        d = self.dom2
+        tw = d.tw_inv if inverse else d.tw_fwd
+        z = d.bit_reverse(d._dif(rows, tw, "i" if inverse else "f"))
+        if inverse:
+            z = self.F.mont_mul(z, jnp.broadcast_to(self.n_inv, z.shape))
+        return z
+
+    def _transform(self, x, inverse: bool):
+        F, n1, n2 = self.F, self.n1, self.n2
+        g = self.grid(inverse)
+        # materialize the sub-domain twiddle tables OUTSIDE the chunk jits:
+        # the lazy property would otherwise cache a tracer (leak)
+        _ = (self.dom1.tw_inv if inverse else self.dom1.tw_fwd,
+             self.dom2.tw_inv if inverse else self.dom2.tw_fwd)
+        # x natural: index j = j1·n2 + j2 -> (n1, n2) row-major
+        m = jnp.transpose(x.reshape(n1, n2, F.K), (1, 0, 2))  # (j2, j1)
+        rows = n2 // self.n_chunks
+        parts = [
+            self._col_chunk(m[lo : lo + rows], g[lo : lo + rows], inverse)
+            for lo in range(0, n2, rows)
+        ]
+        y = jnp.concatenate(parts, axis=0)        # (j2, k1, K)
+        y = jnp.transpose(y, (1, 0, 2))           # (k1, j2, K)
+        rows = n1 // self.n_chunks
+        parts = [
+            self._row_chunk(y[lo : lo + rows], inverse)
+            for lo in range(0, n1, rows)
+        ]
+        z = jnp.concatenate(parts, axis=0)        # (k1, k2, K)
+        # natural output index k = k1 + n1·k2 -> (k2, k1) row-major
+        return jnp.transpose(z, (1, 0, 2)).reshape(self.n, F.K)
+
+    def ntt(self, x):
+        """natural -> natural forward transform, chunked."""
+        return self._transform(x, inverse=False)
+
+    def intt(self, x):
+        """natural -> natural inverse transform (incl. 1/N), chunked."""
+        return self._transform(x, inverse=True)

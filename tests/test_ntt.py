@@ -121,3 +121,25 @@ def test_transposed_butterflies_bit_exact(log_n):
             finally:
                 dom._use_t = saved
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("log_n", [6, 9])
+def test_four_step_matches_domain(log_n):
+    """The chunked 4-step engine (big-N path) must match the monolithic
+    Domain transform bit-for-bit, fwd and inverse."""
+    from gnark_icicle_tpu.ops.ntt import FourStepNTT
+
+    q = FR.modulus
+    n = 1 << log_n
+    rng = random.Random(400 + log_n)
+    vals = [rng.randrange(q) for _ in range(n)]
+    dom = domain_for(F, FR, log_n)
+    fs = FourStepNTT(F, log_n, FR.root_of_unity(log_n), n_chunks=4)
+    X = F.encode(vals)
+    import jax.numpy as jnp
+
+    got = np.asarray(fs.ntt(jnp.asarray(X)))
+    want = np.asarray(dom.ntt(jnp.asarray(X)))
+    np.testing.assert_array_equal(got, want)
+    back = np.asarray(fs.intt(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, X)

@@ -71,11 +71,22 @@ def dispatch_msm(kernel, mesh: Mesh, points, inf, scal, c: int | None = None):
     """Issue one sharded MSM on `mesh` WITHOUT blocking. Returns the device
     result (a projective point of per-leaf jax arrays) — a future under
     jax's async dispatch; materialize with jax.block_until_ready or a host
-    transfer."""
+    transfer.
+
+    Inputs are explicitly resharded onto `mesh` first: operands may arrive
+    placed on a DIFFERENT device set (e.g. h_scalars sharded over the full
+    mesh while this MSM runs on a 2-device sub-mesh) and jit rejects
+    mixed-device arguments."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
     d = mesh.shape["shard"]
     points, inf, scal = _pad_msm_inputs(points, inf, scal, d)
     if c is None:
         c = pick_window(scal.shape[0] // d)
+    row = NamedSharding(mesh, PartitionSpec("shard"))
+    points = jax.tree.map(lambda a: jax.device_put(a, row), points)
+    inf = jax.device_put(inf, row)
+    scal = jax.device_put(scal, row)
     return sharded_msm(kernel, mesh, "shard", points, inf, scal, c)
 
 

@@ -31,7 +31,8 @@ NL = BN254_FP.n_limbs
 NLR = BN254_FR.n_limbs
 
 # locked count (update intentionally only): the compiled KZG assert_opening
-KZG_CIRCUIT_CONSTRAINTS = None  # filled by the first run; see test below
+KZG_CIRCUIT_CONSTRAINTS = 5_860_711
+KZG_CIRCUIT_WIRES = 9_558_798
 
 
 def _limbs(value, params):
@@ -87,9 +88,13 @@ def test_kzg_opening_compiles_and_solves():
     cs = compile_circuit(Q, KzgCheck)
     # lock the count (vs silent blowups in the emulated stack); allow the
     # first run to print it for updating
-    assert cs.nb_constraints > 100_000, "emulated pairing folded away?"
     print(f"kzg compiled: {cs.nb_constraints} constraints, "
           f"{cs.nb_wires} wires")
+    assert cs.nb_constraints == KZG_CIRCUIT_CONSTRAINTS, (
+        "compiled-KZG constraint count shifted — a change in the emulated "
+        "stack (mulcheck batching, rangecheck table, tower schedules); "
+        "update the lock if intentional")
+    assert cs.nb_wires == KZG_CIRCUIT_WIRES
 
     sec = (_limbs(cm[0], BN254_FP) + _limbs(cm[1], BN254_FP)
            + _limbs(w[0], BN254_FP) + _limbs(w[1], BN254_FP)

@@ -116,12 +116,30 @@ def batch_normalize(dev_curve: DevCurve, P):
 
 
 def batch_scalar_mul_host(dev_curve: DevCurve, host_group, ctx_fr_scalars,
-                          base, scalars, scalar_bits: int):
+                          base, scalars, scalar_bits: int,
+                          chunk: int = 1 << 16):
     """Host ints -> list of host affine points (None = infinity).
 
-    Device compute, host I/O — the Setup/SRS convenience path.
+    Device compute, host I/O — the Setup/SRS convenience path. Work is
+    CHUNKED to one fixed padded shape: arbitrary-N single-shot dispatch
+    compiled a fresh 254-step scan per distinct size (minutes each), and
+    odd shapes repeatedly crashed the axon worker mid-setup (r3 groth16
+    bench, twice). One shape = one cache entry, bounded memory.
     """
     fb = FixedBaseMul(dev_curve, host_group, base, scalar_bits)
-    proj = fb.mul(ctx_fr_scalars(scalars))
     p_mod = dev_curve.f.F.modulus
-    return dev_curve.to_affine_host(proj, p_mod)
+    n = len(scalars)
+    out = []
+    for lo in range(0, n, chunk):
+        part = list(scalars[lo : lo + chunk])
+        # pad to a power-of-two bucket (zero scalars -> infinity outputs,
+        # dropped below): few distinct compile shapes for any input size
+        bucket = 256
+        while bucket < len(part):
+            bucket *= 2
+        part_padded = part + [0] * (bucket - len(part))
+        proj = fb.mul(ctx_fr_scalars(part_padded))
+        if len(part_padded) != len(part):
+            proj = jax.tree.map(lambda a: a[: len(part)], proj)
+        out.extend(dev_curve.to_affine_host(proj, p_mod))
+    return out

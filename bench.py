@@ -205,7 +205,7 @@ def bench_msm_g2(log_n: int, iters: int):
     times = []
     for i in range(iters):
         scal[0, 0] = (scal[0, 0] + 1) & 0xFFFF
-        scal_d = jnp.asarray(scal)
+        scal_d = jax.block_until_ready(jnp.asarray(scal))  # staged (as G1)
         t0 = time.perf_counter()
         res = kern.msm(pts, inf_d, scal_d, c)
         got_host = ctx.g2_to_host(res)

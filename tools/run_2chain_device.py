@@ -1,0 +1,133 @@
+"""Run the 2-chain outer BW6-761 proof ON THE TPU (VERDICT r2 item 5).
+
+Same statement as tests/test_native_recursion.py::
+test_outer_bw6_proof_of_inner_verification — a compiled 46k-constraint
+BW6-761 Groth16 proof that a real BLS12-377 proof verifies — but the
+outer PROVE runs on the device kernels (the round-2 milestone ran
+engine="host" for 1h50m because the TPU cache lacked the 12-limb
+shapes; ≙ the whole point of the ICICLE prover, icicle.go:133).
+
+Stages are pickled under .2chain_ck/ so re-runs (after worker crashes /
+compile timeouts) resume: inner proof -> outer compile -> outer setup
+(host) -> outer prove (DEVICE) -> verify.
+
+Run alone on the chip:  python tools/run_2chain_device.py
+"""
+
+import os
+import pickle
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                  ".2chain_ck")
+os.makedirs(CK, exist_ok=True)
+
+
+def stage(name, fn):
+    path = os.path.join(CK, name + ".pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            print(f"[2chain] {name}: cached", flush=True)
+            return pickle.load(f)
+    t0 = time.time()
+    obj = fn()
+    with open(path + ".tmp", "wb") as f:
+        pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(path + ".tmp", path)
+    print(f"[2chain] {name}: {time.time()-t0:.1f}s", flush=True)
+    return obj
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from gnark_icicle_tpu.backend import groth16
+    from gnark_icicle_tpu.curves import bls12_377 as b377
+    from gnark_icicle_tpu.curves import bw6_761 as bw6
+    from gnark_icicle_tpu.frontend import (
+        Circuit, Public, Secret, compile_circuit,
+    )
+    from gnark_icicle_tpu.std.recursion.native_groth16 import (
+        NativeGroth16Verifier, NativeVerifierProof,
+    )
+    sys.path.insert(0, os.path.join(os.path.dirname(CK), "tests"))
+    from circuits import Cubic
+
+    def inner():
+        cs = compile_circuit(b377.R, Cubic)
+        pk, vk = groth16.setup(cs, b377.BLS12_377, rng=random.Random(2024),
+                               engine="host")
+        pub, sec = [35], [3]
+        proof = groth16.prove(cs, pk, pub, sec, b377.BLS12_377,
+                              rng=random.Random(7), engine="host")
+        groth16.verify(proof, vk, pub, b377.BLS12_377)
+        return vk, proof, pub
+
+    vk, proof, pub = stage("inner", inner)
+
+    class OuterG16(Circuit):
+        inner_pub = Public()
+        pr = Secret(shape=8)
+
+        def define(self, api):
+            gv = NativeGroth16Verifier(api, vk)
+            p = self.pr
+            w = NativeVerifierProof(
+                ar=(p[0], p[1]),
+                bs=((p[2], p[3]), (p[4], p[5])),
+                krs=(p[6], p[7]),
+            )
+            gv.assert_proof(w, [self.inner_pub])
+
+    cs = stage("outer_cs", lambda: compile_circuit(b377.P, OuterG16))
+    print(f"[2chain] outer: {cs.nb_constraints} constraints", flush=True)
+
+    pk, ovk = stage("outer_setup", lambda: groth16.setup(
+        cs, bw6.BW6_761, rng=random.Random(5), engine="host"))
+
+    if "--prep" in sys.argv:
+        print("[2chain] prep done (host stages cached); "
+              "run without --prep on the chip", flush=True)
+        return
+
+    w = OuterG16(
+        inner_pub=pub[0],
+        pr=[proof.ar[0], proof.ar[1],
+            proof.bs[0].c0, proof.bs[0].c1, proof.bs[1].c0, proof.bs[1].c1,
+            proof.krs[0], proof.krs[1]],
+    )
+    opub, osec = w.witness_values(b377.P)
+
+    t0 = time.time()
+    oproof = groth16.prove(cs, pk, opub, osec, bw6.BW6_761,
+                           rng=random.Random(6), engine="device",
+                           checkpoint_dir=os.path.join(CK, "prove_ck"))
+    dt = time.time() - t0
+    groth16.verify(oproof, ovk, opub, bw6.BW6_761)
+    print(f"[2chain] OUTER DEVICE PROVE OK in {dt:.1f}s "
+          f"(host engine took ~6600s in round 2)", flush=True)
+
+    from gnark_icicle_tpu.backend.groth16.verify import VerificationError
+
+    try:
+        groth16.verify(oproof, ovk, [(pub[0] + 1) % b377.R], bw6.BW6_761)
+        raise AssertionError("tampered public input accepted")
+    except VerificationError:
+        pass
+    print("[2chain] tamper rejection OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,23 @@ def _mul2_kernel(ops2: TField2Ops, a0_ref, a1_ref, b0_ref, b1_ref,
     o1_ref[...] = t.from_rows(c1)
 
 
+def _mul2_mxu_kernel(ops2: TField2Ops, a0_ref, a1_ref, b0_ref, b1_ref,
+                     npt_ref, pt_ref, o0_ref, o1_ref):
+    """Fp2 Karatsuba with both REDC constant products of each base mul on
+    the MXU (bf16 Toeplitz tables — the same 1.4x lever measured on G1)."""
+    t = ops2.base
+    a = (t.to_rows(a0_ref[...]), t.to_rows(a1_ref[...]))
+    b = (t.to_rows(b0_ref[...]), t.to_rows(b1_ref[...]))
+    npt, pt = npt_ref[...], pt_ref[...]
+
+    def mul_mxu(xr, yr):
+        return t.mul_rows_mxu(xr, yr, npt, pt)
+
+    c0, c1 = ops2.mul_rows2(a, b, mul_rows=mul_mxu)
+    o0_ref[...] = t.from_rows(c0)
+    o1_ref[...] = t.from_rows(c1)
+
+
 def _mul_kernel(ops: TFieldOps, x_ref, y_ref, o_ref):
     xr = ops.to_rows(x_ref[...])
     yr = ops.to_rows(y_ref[...])
@@ -302,6 +319,10 @@ class TCurve2:
         R = 1 << (16 * F.K)
         self.b3_mont = tuple(c * R % F.modulus for c in b3_host)  # (c0, c1)
         self.one_mont = R % F.modulus
+        import os
+
+        self.use_mxu = os.environ.get("GNARK_TPU_T_MXU", "1") != "0"
+        self._tables = tuple(self.t.redc_tables())  # host arrays (see TCurve)
 
     # -- constructors --------------------------------------------------------
     def _const_col(self, v: int):
@@ -336,10 +357,18 @@ class TCurve2:
         ins = [x[0], x[1], y[0], y[1]]
         if rem:
             ins = [jnp.pad(a, ((0, 0), (0, rem))) for a in ins]
+        specs = [pl.BlockSpec((K, bn), lambda i: (0, i))] * 4
+        if self.use_mxu:
+            kern = partial(_mul2_mxu_kernel, self.t2)
+            for tbl in self._tables:
+                specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0)))
+                ins.append(tbl)
+        else:
+            kern = partial(_mul2_kernel, self.t2)
         out = pl.pallas_call(
-            partial(_mul2_kernel, self.t2),
+            kern,
             grid=((n + rem) // bn,),
-            in_specs=[pl.BlockSpec((K, bn), lambda i: (0, i))] * 4,
+            in_specs=specs,
             out_specs=[pl.BlockSpec((K, bn), lambda i: (0, i))] * 2,
             out_shape=[jax.ShapeDtypeStruct((K, n + rem), jnp.int32)] * 2,
         )(*ins)

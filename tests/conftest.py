@@ -22,7 +22,16 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # CPU runs: READ the persistent cache but never WRITE it. The former
+    # full-suite "order-dependent segfault" (CLAUDE.md OPEN FLAKE) is a
+    # crash inside jax's cache-write path — faulthandler stack: 
+    # compilation_cache.put_executable_and_time -> zstd serialization,
+    # reproduced at tests/test_field.py::test_pow_inv after ~100 tests.
+    # CPU executables are cheap to recompile; only TPU runs write.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):

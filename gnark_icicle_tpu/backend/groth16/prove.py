@@ -241,6 +241,8 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
                     hint_overrides=overrides)
         if ck is not None:
             ck.save("solve", (res, commitment_pts, committed_values))
+    t_solved = time.perf_counter()
+    logger().info("groth16 prove: solve took=%.3fs", t_solved - t_start)
 
     # proofs of knowledge, folded with the G16-BSB22 challenge
     # (≙ prove.go:121-141)
@@ -310,8 +312,16 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         if ck is not None:
             h_scalars = np.asarray(h_scalars)
             ck.save("h", h_scalars)
+    try:
+        h_scalars.block_until_ready()
+    except AttributeError:
+        pass
+    t_h = time.perf_counter()
+    logger().info("groth16 prove: computeH took=%.3fs", t_h - t_solved)
 
     dev = pk.device_arrays(ctx)
+    t_pk = time.perf_counter()
+    logger().info("groth16 prove: pk staging took=%.3fs", t_pk - t_h)
     wires_u16 = res.wires_u16()
     wires = ctx.fr_scalars(wires_u16)
     nw = wires_u16.shape[0]
@@ -397,6 +407,10 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         if ck is not None:
             ck.save("msms", msms)
     ar_msm, bs1_msm, bs2_msm, krs_msm = msms
+    logger().info(
+        "groth16 prove: msms (incl. wire staging) took=%.3fs",
+        time.perf_counter() - t_pk,
+    )
 
     import jax as _jax
 

@@ -251,6 +251,122 @@ class TCurve:
         reduction code calls (TCurve2 overrides for its plane layout)."""
         return (P[0], self._neg(P[1]), P[2])
 
+    def affine_to_proj(self, planes, inf):
+        """Affine (x, y) planes + (N,) identity flags -> projective
+        3-tuple (identity = (0 : 1 : 0))."""
+        x, y = planes
+        one = jnp.broadcast_to(
+            self._const_col(self.one_mont), x.shape
+        ).astype(jnp.int32)
+        zero = jnp.zeros_like(x)
+        im = inf[None, :]
+        return (jnp.where(im, zero, x),
+                jnp.where(im, one, y),
+                jnp.where(im, zero, one))
+
+    # -- batched inversion (the affine-wave MSM support) ----------------------
+    def _inv1(self, x):
+        """Elementwise Fermat inverse x^(p−2) of a small (K, n) array:
+        MSB-first square-and-multiply as ONE lax.scan (2 traced muls).
+        This is the only sequential-latency part of batch_inv — ~2·|p|
+        tiny dependent muls — so it runs once per wave on the tree root,
+        never per lane. Plain-jnp muls: the operand is (K, 1)."""
+        e = self.F.modulus - 2
+        nb = e.bit_length()
+        bits = jnp.asarray(
+            [(e >> (nb - 1 - i)) & 1 for i in range(1, nb)], jnp.uint32
+        )
+
+        def body(acc, b):
+            acc = self._mul(acc, acc, False)
+            withx = self._mul(acc, x, False)
+            return jnp.where(b != 0, withx, acc), None
+
+        acc, _ = jax.lax.scan(body, x, bits)
+        return acc
+
+    def batch_inv(self, x, use_pallas: bool = True):
+        """Elementwise Montgomery-form inverses of (K, N) canonical limbs.
+
+        Montgomery's trick reshaped for lanes (gnark-crypto
+        ecc/bn254/fp/element.go BatchInvert's role): a split-half product
+        tree (build ≈ N muls, unwind ≈ 2N — all full-width batched) plus
+        ONE Fermat inversion of the root. Zero lanes poison the whole
+        product — callers must pre-replace them with 1 (the affine wave
+        masks inactive lanes before calling)."""
+        stack = []
+        cur = x
+        n = cur.shape[1]
+        while n > 1:
+            half = n // 2
+            left = cur[:, :half]
+            right = cur[:, half:2 * half]
+            tail = cur[:, 2 * half:]
+            prod = self._mul(left, right, use_pallas and half >= 512)
+            stack.append((left, right, half))
+            cur = (jnp.concatenate([prod, tail], axis=1)
+                   if tail.shape[1] else prod)
+            n = cur.shape[1]
+        inv = self._inv1(cur)
+        for left, right, half in reversed(stack):
+            ip = inv[:, :half]
+            itail = inv[:, half:]
+            il = self._mul(ip, right, use_pallas and half >= 512)
+            ir = self._mul(ip, left, use_pallas and half >= 512)
+            inv = jnp.concatenate([il, ir, itail], axis=1)
+        return inv
+
+    @partial(jax.jit, static_argnums=(0, 6))
+    def affine_add_masked(self, acc, inf, q, valid, sign=None,
+                          use_pallas: bool = True):
+        """Affine bucket accumulate: (acc ± q) where valid, else acc.
+
+        acc: (x1, y1) (K, N) affine planes + `inf` (N,) bool identity
+        flags; q: (x2, y2) REAL affine points on every valid lane.
+        Complete for prime-order-subgroup inputs: identity (inf flags),
+        doubling (x_eq ∧ y_eq → tangent slope), and P + (−P) (→ inf) are
+        resolved per lane with selects. The one excluded input class is
+        y = 0 (2-torsion) points, which cannot lie in a prime-order
+        subgroup.
+
+        ≈7 montmuls per lane — 1 square, ~3 amortized batch-inversion
+        muls, slope, slope², y3 — vs the projective mixed add's 11, and
+        the accumulator is 2 planes instead of 3 (2/3 the HBM traffic).
+        Role: gnark-crypto's batch-affine bucket accumulation
+        (ecc/bn254/multiexp_affine.go), with the serial add queue replaced
+        by lane-wise selects and the batch inversion done as a product
+        tree + one Fermat root inversion per wave."""
+        use_pallas = use_pallas and jax.default_backend() != "cpu"
+        x1, y1 = acc
+        x2, y2 = q
+        if sign is not None:
+            y2 = jnp.where((sign != 0)[None, :], self._neg(y2), y2)
+        mul = partial(self._mul, use_pallas=use_pallas)
+        add, sub = self._add, self._sub
+        dx = sub(x2, x1)
+        dy = sub(y2, y1)
+        x_eq = jnp.all(dx == 0, axis=0)
+        y_eq = jnp.all(dy == 0, axis=0)
+        is_dbl = x_eq & y_eq
+        x1sq = mul(x1, x1)
+        num = jnp.where(is_dbl[None, :], add(add(x1sq, x1sq), x1sq), dy)
+        den = jnp.where(is_dbl[None, :], add(y1, y1), dx)
+        active = valid & (~inf) & ~(x_eq & ~y_eq)
+        one = jnp.broadcast_to(
+            self._const_col(self.one_mont), x1.shape
+        ).astype(jnp.int32)
+        den_safe = jnp.where(active[None, :], den, one)
+        lam = mul(num, self.batch_inv(den_safe, use_pallas))
+        lam2 = mul(lam, lam)
+        x3 = sub(sub(lam2, x1), x2)
+        y3 = sub(mul(lam, sub(x1, x3)), y1)
+        res_x = jnp.where(inf[None, :], x2, x3)
+        res_y = jnp.where(inf[None, :], y2, y3)
+        res_inf = (~inf) & x_eq & (~y_eq)
+        vm = valid[None, :]
+        return ((jnp.where(vm, res_x, x1), jnp.where(vm, res_y, y1)),
+                jnp.where(valid, res_inf, inf))
+
     def to_curve_tree(self, flat):
         """Flat plane tuple -> the DevCurve pytree shape (identity for G1)."""
         return tuple(flat)
@@ -483,6 +599,95 @@ class TCurve2:
     def to_curve_tree(self, flat):
         """Flat 6-plane tuple -> DevCurve G2 pytree ((x0,x1),(y0,y1),(z0,z1))."""
         return ((flat[0], flat[1]), (flat[2], flat[3]), (flat[4], flat[5]))
+
+    def affine_to_proj(self, planes, inf):
+        """Affine 4-plane tuple + (N,) identity flags -> projective
+        6-plane tuple (identity = ((0,0) : (1,0) : (0,0)))."""
+        x0, x1, y0, y1 = planes
+        one = jnp.broadcast_to(
+            self._const_col(self.one_mont), x0.shape
+        ).astype(jnp.int32)
+        zero = jnp.zeros_like(x0)
+        im = inf[None, :]
+        return (jnp.where(im, zero, x0), jnp.where(im, zero, x1),
+                jnp.where(im, one, y0), jnp.where(im, zero, y1),
+                jnp.where(im, zero, one), zero)
+
+    # -- batched Fp2 inversion (the affine-wave G2 MSM support) ---------------
+    @property
+    def _base(self):
+        """Base-field TCurve, for its scalar mul/batch_inv machinery (the
+        b3 constant is irrelevant to field ops)."""
+        return TCurve(self.F, 0, block_n=self.block_n)
+
+    def batch_inv2(self, x, use_pallas: bool = True):
+        """Fp2 inverses of a (c0, c1) plane pair: conj(a) · norm(a)^{-1}
+        with norm = c0² + |β|·c1² inverted by ONE base-field batch_inv
+        (product tree + Fermat root — TCurve.batch_inv)."""
+        c0, c1 = x
+        base = self._base
+        m = partial(base._mul, use_pallas=use_pallas)
+        sq0 = m(c0, c0)
+        sq1 = m(c1, c1)
+        mag = -self.t2.beta
+        out = None
+        acc = sq1
+        while mag:  # |β|·sq1 via shift-adds (β is −1 or −5)
+            if mag & 1:
+                out = acc if out is None else base._add(out, acc)
+            mag >>= 1
+            if mag:
+                acc = base._add(acc, acc)
+        norm = base._add(sq0, out)
+        invn = base.batch_inv(norm, use_pallas)
+        return (m(c0, invn), base._neg(m(c1, invn)))
+
+    @partial(jax.jit, static_argnums=(0, 6))
+    def affine_add_masked(self, acc, inf, q, valid, sign=None,
+                          use_pallas: bool = True):
+        """Fp2 analog of TCurve.affine_add_masked on flat 4-plane affine
+        tuples (x0, x1, y0, y1): ≈19 base muls per lane (3 Fp2 muls +
+        the 7-base-mul Fp2 batch inversion) vs the projective mixed
+        add's 33. Same per-lane completeness contract (prime-order
+        subgroup; identity flags; doubling and P+(−P) via selects)."""
+        use_pallas = use_pallas and jax.default_backend() != "cpu"
+        x1 = (acc[0], acc[1]); y1 = (acc[2], acc[3])
+        x2 = (q[0], q[1]); y2 = (q[2], q[3])
+        if sign is not None:
+            ny = self._negf(y2)
+            sel = (sign != 0)[None, :]
+            y2 = (jnp.where(sel, ny[0], y2[0]),
+                  jnp.where(sel, ny[1], y2[1]))
+        mul = partial(self._mul, use_pallas=use_pallas)
+        add, sub = self._addf, self._subf
+        sel2 = lambda m_, a, b: tuple(
+            jnp.where(m_[None, :], pa, pb) for pa, pb in zip(a, b)
+        )
+        dx = sub(x2, x1)
+        dy = sub(y2, y1)
+        x_eq = jnp.all((dx[0] == 0) & (dx[1] == 0), axis=0)
+        y_eq = jnp.all((dy[0] == 0) & (dy[1] == 0), axis=0)
+        is_dbl = x_eq & y_eq
+        x1sq = mul(x1, x1)
+        num = sel2(is_dbl, add(add(x1sq, x1sq), x1sq), dy)
+        den = sel2(is_dbl, add(y1, y1), dx)
+        active = valid & (~inf) & ~(x_eq & ~y_eq)
+        one = jnp.broadcast_to(
+            self._const_col(self.one_mont), acc[0].shape
+        ).astype(jnp.int32)
+        zero = jnp.zeros_like(one)
+        den_safe = sel2(active, den, (one, zero))
+        lam = mul(num, self.batch_inv2(den_safe, use_pallas))
+        lam2 = mul(lam, lam)
+        x3 = sub(sub(lam2, x1), x2)
+        y3 = sub(mul(lam, sub(x1, x3)), y1)
+        res_x = sel2(inf, x2, x3)
+        res_y = sel2(inf, y2, y3)
+        res_inf = (~inf) & x_eq & (~y_eq)
+        out_x = sel2(valid, res_x, x1)
+        out_y = sel2(valid, res_y, y1)
+        return ((out_x[0], out_x[1], out_y[0], out_y[1]),
+                jnp.where(valid, res_inf, inf))
 
     # -- public ops ----------------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 5))

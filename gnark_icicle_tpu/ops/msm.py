@@ -256,6 +256,90 @@ class MSMKernel:
         return tuple(a[:, inv_order] for a in acc)
 
     # ------------------------------------------------------------------
+    # batch-affine wave accumulation (G1): affine accumulators + one
+    # batched inversion per wave — ~7 montmuls/add vs the projective
+    # mixed add's 11, and 2 accumulator planes instead of 3.
+    # ------------------------------------------------------------------
+    def _wave_accumulate_affine_t(self, tc, points, order_flat, sign_flat,
+                                  starts_p, counts_p, win_of_lane,
+                                  stage_sizes, n, L, inv_order):
+        """Same staged-wave structure as _wave_accumulate_t, but the
+        (window, bucket) accumulators stay AFFINE — (x, y) planes plus an
+        (L,) identity flag — and each wave is tc.affine_add_masked (slope
+        via a per-wave batched inversion). Returns projective transposed
+        buckets, per coord (K, W·B), in (window, bucket) order.
+
+        Role: gnark-crypto's batch-affine Pippenger accumulation
+        (ecc/bn254/multiexp_affine.go processBatchG1Affine) — there a
+        serial queue with one Montgomery-trick inversion per batch; here
+        every lane IS the batch and the inversion is a product tree."""
+        K = tc.K
+        K2 = K // 2
+        planes = jax.tree.leaves(points)
+        n_planes = len(planes)  # 2 for G1 (x, y); 4 for G2 plane tuples
+
+        def pack(a):  # (N, K) 16-bit limbs -> (N, K/2) packed u32
+            a = a.astype(jnp.uint32)
+            return (a[:, 0::2] | (a[:, 1::2] << 16)).astype(jnp.int32)
+
+        packed = jnp.concatenate([pack(p) for p in planes], axis=1)
+        acc = tuple(
+            jnp.zeros((K, L), jnp.int32) for _ in range(n_planes)
+        )
+        acc_inf = jnp.ones((L,), jnp.bool_)
+
+        def make_wave(S, meta):
+            starts_s, counts_s, win_s = meta
+
+            def unpack(rows):  # (K2, S) u32 -> (K, S) interleaved limbs
+                lo = (rows & jnp.uint32(0xFFFF))
+                hi = (rows >> 16)
+                return jnp.stack([lo, hi], axis=1).reshape(K, S)
+
+            def wave(state):
+                t, acc_s, inf_s = state
+                idx_sorted = jnp.clip(starts_s + t, 0, n - 1)
+                valid = t < counts_s
+                flat_idx = win_s * n + idx_sorted
+                pt_idx = order_flat[flat_idx]
+                g = packed[pt_idx]                # (S, 2·K/2) row gather
+                gt = jnp.transpose(g, (1, 0)).astype(jnp.uint32)
+                q = tuple(
+                    unpack(gt[i * K2:(i + 1) * K2]).astype(jnp.int32)
+                    for i in range(n_planes)
+                )
+                sg = sign_flat[flat_idx].astype(jnp.int32)
+                acc_s, inf_s = tc.affine_add_masked(
+                    acc_s, inf_s, q, valid, sg
+                )
+                return t + 1, acc_s, inf_s
+
+            return wave
+
+        t = jnp.int32(0)
+        for si, S in enumerate(stage_sizes):
+            meta = (starts_p[:S], counts_p[:S], win_of_lane[:S])
+            wave = make_wave(S, meta)
+            if si + 1 < len(stage_sizes):
+                t_stop = counts_p[stage_sizes[si + 1]]
+            else:
+                t_stop = counts_p[0]
+            acc_s = tuple(a[:, :S] for a in acc)
+            inf_s = acc_inf[:S]
+            t, acc_s, inf_s = jax.lax.while_loop(
+                lambda st: st[0] < t_stop, wave, (t, acc_s, inf_s)
+            )
+            acc = tuple(
+                jax.lax.dynamic_update_slice(full, part, (0, 0))
+                for full, part in zip(acc, acc_s)
+            )
+            acc_inf = jax.lax.dynamic_update_slice(acc_inf, inf_s, (0,))
+
+        return tc.affine_to_proj(
+            tuple(a[:, inv_order] for a in acc), acc_inf[inv_order]
+        )
+
+    # ------------------------------------------------------------------
     # transposed bucket reduction (mirrors _bucket_reduce, TCurve ops)
     # ------------------------------------------------------------------
     def _suffix_scan_t(self, tc, P, m: int):
@@ -466,7 +550,12 @@ class MSMKernel:
                              tuple(self.curve.b3_host))
             else:
                 tc = TCurve(self.curve.f.F, self.curve.b3_host)
-            buckets_t = self._wave_accumulate_t(
+            # default OFF until the on-chip A/B validates it; the CPU
+            # bit-exactness test forces it on
+            affine = os.environ.get("GNARK_TPU_AFFINE_MSM", "0") == "1"
+            accumulate = (self._wave_accumulate_affine_t if affine
+                          else self._wave_accumulate_t)
+            buckets_t = accumulate(
                 tc, points, order_flat, sign_flat, starts_p, counts_p,
                 win_of_lane, stage_sizes, n, L, inv_order,
             )

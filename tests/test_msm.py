@@ -148,6 +148,61 @@ def test_msm_g2_infinity_and_zero():
     assert got == want
 
 
+def test_msm_affine_wave_path_bit_exact(monkeypatch):
+    """The batch-affine wave path (GNARK_TPU_AFFINE_MSM: affine
+    accumulators + per-wave batched inversion, ops/ec_t.py
+    affine_add_masked) must match the host oracle, including the
+    edge lanes it resolves with selects: identity accumulators,
+    forced doublings (identical point+scalar pairs), sign-negated
+    adds, infinity inputs, and zero scalars.
+
+    TPU-only: XLA-CPU takes >45 min to compile the wave while_loop
+    with the batch-inversion tree + Fermat scan inside (same
+    pathological-compile family as the Fp2/BW6 entries); on TPU it
+    compiles in normal time and bench.py's msm mode verifies the same
+    path against the host oracle at full size."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("XLA-CPU compile of the affine wave graph is pathological")
+    monkeypatch.setenv("GNARK_TPU_T_MSM", "force")
+    monkeypatch.setenv("GNARK_TPU_AFFINE_MSM", "1")
+    rng = random.Random(321)
+    n = 33
+    pts = [bn254.G1.random_point(rng) for _ in range(n)]
+    pts[2] = None                     # infinity lane
+    pts[7] = pts[4]                   # duplicate point
+    scalars = [rng.randrange(bn254.R) for _ in range(n)]
+    scalars[5] = 0                    # zero-scalar lane
+    scalars[7] = scalars[4]           # identical pair -> forced doubling
+    got = msm_host(G1_DEV, bn254.FR, pts, scalars)
+    want = host_msm(bn254.G1, scalars, pts)
+    assert got == want
+
+
+def test_batch_inv_matches_host():
+    """TCurve.batch_inv (split-half product tree + Fermat root) vs host
+    pow(x, -1, p), at an odd width that exercises the tail carry."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnark_icicle_tpu.ops.ec_t import TCurve
+
+    rng = random.Random(3)
+    tc = TCurve(FP_DEV, 9)
+    n = 37
+    vals = [rng.randrange(1, bn254.P) for _ in range(n)]
+    R = 1 << (16 * FP_DEV.K)
+    mont = [v * R % bn254.P for v in vals]
+    x = jnp.asarray(
+        [[(m >> (16 * i)) & 0xFFFF for m in mont]
+         for i in range(FP_DEV.K)], jnp.int32)
+    got = np.asarray(tc.batch_inv(x, use_pallas=False))
+    for j, v in enumerate(vals):
+        val = sum(int(got[i, j]) << (16 * i) for i in range(FP_DEV.K))
+        assert val == pow(v, -1, bn254.P) * R % bn254.P
+
+
 @pytest.mark.parametrize("group", ["g1", "g2"])
 def test_msm_transposed_path_bit_exact(group, monkeypatch):
     """The transposed staged-wave path (TCurve/TCurve2 + packed gathers)

@@ -19,6 +19,20 @@ from .ops.ntt import Domain, domain_for
 from .ops.msm import MSMKernel, scalars_to_limbs
 
 
+def _mont_chunked(dev_field: LimbField, values: np.ndarray) -> jnp.ndarray:
+    """Plain (N, K) int limbs -> Montgomery form on device, chunked over N
+    (the (N, K, K) half-product temp inside mont_mul is ~1-3 KB/element)."""
+    n = values.shape[0]
+    chunk = 1 << 20
+    if n <= chunk:
+        return dev_field.to_mont(jnp.asarray(values.astype(np.int32)))
+    parts = [
+        dev_field.to_mont(jnp.asarray(values[lo : lo + chunk].astype(np.int32)))
+        for lo in range(0, n, chunk)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 class DeviceCtx:
     """Device-side kernels + conversions for one host curve object."""
 
@@ -110,17 +124,7 @@ class DeviceCtx:
         ~3 KB/element, which OOMs HBM at 2^24 in one shot (49.5 GB for a
         15.75 GB chip — the round-2 ntt-2^24 sweep failure)."""
         if isinstance(values, np.ndarray) and values.ndim == 2:
-            n = values.shape[0]
-            chunk = 1 << 20
-            if n <= chunk:
-                return self.fr_dev.to_mont(jnp.asarray(values.astype(np.int32)))
-            parts = [
-                self.fr_dev.to_mont(
-                    jnp.asarray(values[lo : lo + chunk].astype(np.int32))
-                )
-                for lo in range(0, n, chunk)
-            ]
-            return jnp.concatenate(parts, axis=0)
+            return _mont_chunked(self.fr_dev, values)
         return jnp.asarray(self.fr_dev.encode(values))
 
     def g1_points(self, points_host):
@@ -137,11 +141,15 @@ class DeviceCtx:
         return self._points(points_host, self.g2_dev, (zero, one))
 
     def _points(self, points_host, dev_curve, inf_sub):
+        """PK staging hot path: plain host encode (C-level to_bytes) + the
+        R-scaling as a chunked device mont_mul — no per-value bigint mulmod
+        (was ~half of Groth16 pk staging at 2^20 wires)."""
         inf = np.array([p is None for p in points_host], dtype=bool)
         filled = [p if p is not None else inf_sub for p in points_host]
         f = dev_curve.f
-        x = jax.tree.map(jnp.asarray, f.encode([p[0] for p in filled]))
-        y = jax.tree.map(jnp.asarray, f.encode([p[1] for p in filled]))
+        enc = lambda plain: _mont_chunked(self.fp_dev, plain)  # noqa: E731
+        x = jax.tree.map(enc, f.encode_plain([p[0] for p in filled]))
+        y = jax.tree.map(enc, f.encode_plain([p[1] for p in filled]))
         return (x, y), jnp.asarray(inf)
 
     def g1_to_host(self, P):

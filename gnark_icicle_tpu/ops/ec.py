@@ -72,6 +72,11 @@ class DevField:
     def encode(self, vals):
         return self.F.encode(vals)
 
+    def encode_plain(self, vals):
+        """Host ints -> plain-form (N, K) numpy limbs (no R scaling — pair
+        with a device to_mont so staging skips per-value bigint mulmods)."""
+        return self.F.encode_plain(vals)
+
     def decode(self, arr):
         return self.F.decode(arr)
 
@@ -171,6 +176,11 @@ class DevField2:
         c0s = [v.c0 if hasattr(v, "c0") else v[0] for v in vals]
         c1s = [v.c1 if hasattr(v, "c1") else v[1] for v in vals]
         return (self.F.encode(c0s), self.F.encode(c1s))
+
+    def encode_plain(self, vals):
+        c0s = [v.c0 if hasattr(v, "c0") else v[0] for v in vals]
+        c1s = [v.c1 if hasattr(v, "c1") else v[1] for v in vals]
+        return (self.F.encode_plain(c0s), self.F.encode_plain(c1s))
 
     def decode(self, arr):
         c0s = self.F.decode(arr[0])

@@ -220,14 +220,15 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     if checkpoint_dir is not None:
         import hashlib
 
+        nb = (q.bit_length() + 7) // 8  # Fr width (48 bytes on BW6-761)
         binding = hashlib.sha256(
             b"g16ck" + cs.nb_constraints.to_bytes(8, "big")
             + pk.domain_log_n.to_bytes(2, "big")
-            + b"".join(int(v).to_bytes(32, "big") for v in public_values)
+            + b"".join(int(v % q).to_bytes(nb, "big") for v in public_values)
             # bind the secret witness too: resuming with different secrets
             # must invalidate the saved solved witness
             + b"|sec|"
-            + b"".join(int(v % q).to_bytes(32, "big") for v in secret_values)
+            + b"".join(int(v % q).to_bytes(nb, "big") for v in secret_values)
         ).digest()
         ck = _Checkpoint(checkpoint_dir, binding)
 
@@ -386,19 +387,26 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         if ck is not None:
             ck.save("msms", msms)
     if msms is None:
-        c_all = pick_window(nw)
-        ar_dev = ctx.msm_g1.msm(dev["a"][0], dev["a"][1], wires, c_all)
-        bs1_dev = ctx.msm_g1.msm(dev["b1"][0], dev["b1"][1], wires, c_all)
-        bs2_dev = ctx.msm_g2.msm(dev["b2"][0], dev["b2"][1], wires, c_all)
+        # pad tiny operands to one shared (shape, window) jit signature —
+        # n=35/37/64 would otherwise compile three separate MSM kernels
+        # (minutes each on XLA-CPU; the MULTICHIP_r03 timeout). No-op at
+        # production sizes (≥4096 rows keep exact shapes).
+        from ...parallel.pipeline import _pad_msm_inputs
+
+        def _msm(kern, pts, inf, scal):
+            pts, inf, scal = _pad_msm_inputs(pts, inf, scal, 1)
+            return kern.msm(pts, inf, scal, pick_window(scal.shape[0]))
+
+        ar_dev = _msm(ctx.msm_g1, dev["a"][0], dev["a"][1], wires)
+        bs1_dev = _msm(ctx.msm_g1, dev["b1"][0], dev["b1"][1], wires)
+        bs2_dev = _msm(ctx.msm_g2, dev["b2"][0], dev["b2"][1], wires)
         krs_parts = []
         if nb_priv > 0:
             krs_parts.append(
-                ctx.msm_g1.msm(dev["k"][0], dev["k"][1], priv_wires,
-                               pick_window(nb_priv))
+                _msm(ctx.msm_g1, dev["k"][0], dev["k"][1], priv_wires)
             )
         krs_parts.append(
-            ctx.msm_g1.msm(dev["z"][0], dev["z"][1], h_scalars,
-                           pick_window(n))
+            _msm(ctx.msm_g1, dev["z"][0], dev["z"][1], h_scalars)
         )
         msms = (
             ctx.g1_to_host(ar_dev), ctx.g1_to_host(bs1_dev),

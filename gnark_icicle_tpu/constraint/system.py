@@ -100,6 +100,15 @@ class R1CS:
         # BSB22 commitments (≙ System.CommitmentInfo, constraint/core.go)
         self.commitments: list[Groth16Commitment] = []
 
+    def __getstate__(self):
+        # the derived level schedule is cheap to rebuild but large to store —
+        # keep pickles (checkpoints, .2chain_ck stages) lean
+        state = dict(self.__dict__)
+        state.pop("_levels_cache", None)
+        state.pop("_native_stage_cache", None)
+        state.pop("_native_sched_cache", None)
+        return state
+
     # -- sizes ---------------------------------------------------------------
     @property
     def nb_constraints(self) -> int:
@@ -185,7 +194,14 @@ class R1CS:
         produced at strictly earlier levels — instructions within one level
         are independently solvable (the reference's per-level worker pool;
         our native core's parallel batch).
+
+        Cached per instruction-stream length: the walk is O(terms) Python
+        and the solver calls it on EVERY solve (the reference computes its
+        tree once at compile time, core.go:111).
         """
+        cache = getattr(self, "_levels_cache", None)
+        if cache is not None and cache[0] == len(self.instructions):
+            return cache[1]
         n_in = self.nb_public + self.nb_secret
         wire_level: dict[int, int] = {}  # producer level per wire
 
@@ -218,6 +234,7 @@ class R1CS:
             while len(levels) <= lvl:
                 levels.append([])
             levels[lvl].append(pos)
+        self._levels_cache = (len(self.instructions), levels)
         return levels
 
     def constraint_slots(self, j: int):

@@ -21,9 +21,15 @@ from .ops.msm import MSMKernel, scalars_to_limbs
 
 def _mont_chunked(dev_field: LimbField, values: np.ndarray) -> jnp.ndarray:
     """Plain (N, K) int limbs -> Montgomery form on device, chunked over N
-    (the (N, K, K) half-product temp inside mont_mul is ~1-3 KB/element)."""
+    (the (N, K, K) half-product temp inside mont_mul is ~1-3 KB/element).
+
+    The chunk scales as 1/K²: temps grow quadratically with the limb count,
+    so the 2^20 chunk tuned for fr (K=16) would OOM HBM staging ≥2^20
+    BW6-761 Fp points (K=48, ~9x the temp bytes per element)."""
     n = values.shape[0]
-    chunk = 1 << 20
+    k = values.shape[1]
+    budget = max(1 << 14, ((1 << 20) * 16 * 16) // (k * k))
+    chunk = 1 << (budget.bit_length() - 1)  # pow2: one jit shape per field
     if n <= chunk:
         return dev_field.to_mont(jnp.asarray(values.astype(np.int32)))
     parts = [
@@ -147,7 +153,9 @@ class DeviceCtx:
         inf = np.array([p is None for p in points_host], dtype=bool)
         filled = [p if p is not None else inf_sub for p in points_host]
         f = dev_curve.f
-        enc = lambda plain: _mont_chunked(self.fp_dev, plain)  # noqa: E731
+        # convert in the curve's own coordinate field (today always a view
+        # over fp_dev, but the coupling stays explicit — ADVICE r3)
+        enc = lambda plain: _mont_chunked(f.F, plain)  # noqa: E731
         x = jax.tree.map(enc, f.encode_plain([p[0] for p in filled]))
         y = jax.tree.map(enc, f.encode_plain([p[1] for p in filled]))
         return (x, y), jnp.asarray(inf)

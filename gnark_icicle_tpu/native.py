@@ -316,13 +316,23 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
     wires[: len(init_vals)] = ints_to_u64xn(nf.to_mont_ints(init_vals), nl)
     assigned[: len(init_vals)] = 1
 
-    coeffs_m = ints_to_u64xn(nf.to_mont_ints(cs.coeffs), nl)
-    term_coeff = np.asarray(cs.term_coeff, dtype=np.uint32)
-    term_wire = np.asarray(cs.term_wire, dtype=np.uint32)
-    l_off = np.asarray(cs.l_off + [len(cs.term_coeff)], dtype=np.int64)
-    r_off = np.asarray(cs.r_off, dtype=np.int64)
-    o_off = np.asarray(cs.o_off, dtype=np.int64)
-    solved = np.asarray(cs.solved_wire, dtype=np.int64)
+    # staging arrays are pure functions of the (frozen) constraint system —
+    # cache them on the CS: rebuilding 4 × ~N-entry lists as numpy each
+    # solve cost more than the native solve itself at 2^17 constraints
+    stage = getattr(cs, "_native_stage_cache", None)
+    if stage is None or stage[0] != (len(cs.term_coeff), len(cs.coeffs), nl):
+        stage = (
+            (len(cs.term_coeff), len(cs.coeffs), nl),
+            ints_to_u64xn(nf.to_mont_ints(cs.coeffs), nl),
+            np.asarray(cs.term_coeff, dtype=np.uint32),
+            np.asarray(cs.term_wire, dtype=np.uint32),
+            np.asarray(cs.l_off + [len(cs.term_coeff)], dtype=np.int64),
+            np.asarray(cs.r_off, dtype=np.int64),
+            np.asarray(cs.o_off, dtype=np.int64),
+            np.asarray(cs.solved_wire, dtype=np.int64),
+        )
+        cs._native_stage_cache = stage
+    _, coeffs_m, term_coeff, term_wire, l_off, r_off, o_off, solved = stage
     abc = np.zeros((3, max(n_cons, 1), nl), dtype=np.uint64)
 
     def ptr(a, t):
@@ -391,21 +401,56 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
 
     if os.environ.get("GNARK_TPU_LEVEL_SOLVE", "1") == "1":
         # dependency-levelled schedule (≙ the reference's Levels + per-level
-        # worker pool): within each level the R1C batch runs through the
-        # OpenMP entry; hints stay host-sequential
-        for level in cs.compute_levels():
-            batch = []
-            for pos in level:
-                kind, idx = cs.instructions[pos]
-                if kind == INSTR_R1C:
-                    batch.append(idx)
-                else:
-                    if batch:
-                        run(batch, level_parallel=True)
-                        batch = []
-                    run_hint(idx)
-            if batch:
-                run(batch, level_parallel=True)
+        # worker pool, with its ≥50-constraints-per-task floor,
+        # constraint/solver/options.go:60-80): a level only pays the
+        # OpenMP-entry cost when it is wide enough to amortize it. Narrow
+        # levels — e.g. a pure dependency CHAIN, where every level holds ONE
+        # constraint — are coalesced into sequential native batches; level
+        # order already is a valid sequential order, so this is exact.
+        # (Without this, a 2^17-constraint chain made 131k ctypes+OpenMP
+        # calls ≈ 50 s of pure dispatch; one sequential call is ~ms.)
+        # The flattened step list is cached on the CS with the order arrays
+        # prebuilt — list→numpy of a 2^17-entry order was ~0.5 s per solve.
+        sched = getattr(cs, "_native_sched_cache", None)
+        if sched is None or sched[0] != len(cs.instructions):
+            par_min = max(256, 64 * (os.cpu_count() or 1))
+            steps: list = []  # ("run", order_np, parallel) | ("hint", idx)
+            seq: list = []
+
+            def _flush_seq():
+                if seq:
+                    steps.append(
+                        ("run", np.asarray(seq, dtype=np.int64), False))
+                    seq.clear()
+
+            for level in cs.compute_levels():
+                wide = len(level) >= par_min
+                batch = []
+                for pos in level:
+                    kind, idx = cs.instructions[pos]
+                    if kind == INSTR_R1C:
+                        (batch if wide else seq).append(idx)
+                    else:
+                        # seq holds earlier-level work: it goes first
+                        _flush_seq()
+                        if batch:
+                            steps.append((
+                                "run",
+                                np.asarray(batch, dtype=np.int64), True))
+                            batch = []
+                        steps.append(("hint", idx))
+                if batch:
+                    _flush_seq()
+                    steps.append(
+                        ("run", np.asarray(batch, dtype=np.int64), True))
+            _flush_seq()
+            sched = (len(cs.instructions), steps)
+            cs._native_sched_cache = sched
+        for step in sched[1]:
+            if step[0] == "run":
+                run(step[1], level_parallel=step[2])
+            else:
+                run_hint(step[1])
     else:
         pending: list = []
         for kind, idx in cs.instructions:

@@ -463,6 +463,52 @@ class MSMKernel:
         return tuple(jnp.transpose(a, (1, 0)) for a in res)
 
     # ------------------------------------------------------------------
+    # small-N path: compile time over throughput
+    # ------------------------------------------------------------------
+    def _msm_small(self, points, inf_mask, scalar_limbs):
+        """Lane-wise double-and-add inside ONE lax.scan + a log-depth tree
+        reduction. Bit-identical result to the Pippenger kernel (it is the
+        same group sum) but the traced graph is ~15 EC ops instead of
+        thousands: XLA compiles it in seconds where the wave kernel takes
+        minutes per new tiny shape (the multichip-dryrun/test-circuit
+        pathology — MULTICHIP_r03 measured 529-559 s of jit per prove of a
+        35-constraint circuit). Runtime is O(bits·N) lane ops — only worth
+        it below ~2^7 points, where dispatch floors dominate anyway."""
+        curve = self.curve
+        n = scalar_limbs.shape[0]
+        P = curve.from_affine(points[0], points[1], inf_mask)
+        # (N, bits) bit matrix, LSB first — one vectorized extraction
+        limbs = scalar_limbs.astype(jnp.int32)
+        bits = ((limbs[:, :, None] >> jnp.arange(16, dtype=jnp.int32)) & 1)
+        bits = bits.reshape(n, -1)[:, : self.scalar_bits]
+
+        def body(acc, bit_col):
+            acc = curve.double(acc)
+            return curve.select(bit_col == 1, curve.add(acc, P), acc), None
+
+        x_proto = jax.tree.map(lambda a: a, points[0])
+        acc = curve.identity_like(x_proto)
+        acc, _ = jax.lax.scan(body, acc, jnp.transpose(bits)[::-1])
+
+        # log-depth lane reduction, also as ONE scanned add (an unrolled
+        # halving tree traced log2(n) separate adds — most of the graph)
+        if n > 1:
+            steps = int(np.ceil(np.log2(n)))
+            shifts = jnp.asarray([1 << k for k in range(steps)],
+                                 dtype=jnp.int32)
+            lane = jnp.arange(n)
+
+            def fold(x, shift):
+                rolled = jax.tree.map(
+                    lambda a: jnp.roll(a, -shift, axis=0), x)
+                added = curve.add(x, rolled)
+                mask = (lane + shift) < n
+                return curve.select(mask, added, x), None
+
+            acc, _ = jax.lax.scan(fold, acc, shifts)
+        return jax.tree.map(lambda a: a[0], acc)
+
+    # ------------------------------------------------------------------
     # the kernel
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 4))
@@ -476,6 +522,9 @@ class MSMKernel:
         """
         curve = self.curve
         n = scalar_limbs.shape[0]
+        small_max = int(os.environ.get("GNARK_TPU_SMALL_MSM", "128"))
+        if n <= small_max:  # resolved at trace time (n is a static shape)
+            return self._msm_small(points, inf_mask, scalar_limbs)
         B = 1 << (c - 1)
         digits = self._signed_digits(scalar_limbs, c)  # (W, N)
         W = digits.shape[0]

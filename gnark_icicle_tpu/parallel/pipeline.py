@@ -54,8 +54,17 @@ def split_submeshes(devices, shares: dict) -> dict:
 def _pad_msm_inputs(points, inf, scal, d: int):
     """Pad the MSM operand row count to a multiple of the sub-mesh width.
     Infinity points with zero scalars contribute the identity — exact.
-    `points` is a pytree of (N, K) coordinate arrays (G1 or G2 shape)."""
+    `points` is a pytree of (N, K) coordinate arrays (G1 or G2 shape).
+
+    Small operands (< 4096 rows) pad to multiples of max(d, 64): tiny MSMs
+    are dominated by per-shape jit compiles (minutes each on XLA-CPU), so
+    collapsing n=35/37/38/64 onto ONE shape turns the prover's four MSMs
+    into one compile — the MULTICHIP_r03 budget fix. Large operands keep
+    exact-to-d shapes (padding 2^20 rows to cut compile count would cost
+    real throughput)."""
     n = scal.shape[0]
+    if n < 4096:
+        d = max(d, 64)
     pad = (-n) % d
     if pad == 0:
         return points, inf, scal

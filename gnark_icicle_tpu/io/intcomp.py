@@ -32,12 +32,13 @@ Confirmed against the fixtures: single-byte deltas (<= 0x7f), the 0x80
 padding, MSB-first byte order, len=3 (u32, 1 payload word) and len=2
 (u64) with the trailing duplicate. UNVERIFIED extrapolations, isolated
 here and called out per function: (1) multi-byte varint group order,
-(2) blocks of >= 128 values (the Go library switches to a delta bit-pack
-scheme at 128 — we keep emitting varint blocks of <= 127 values, which a
-self-consistent decoder accepts but the real library may frame
-differently), (3) whether ``len`` is really a length (it could be a
-constant scheme tag that coincidentally equals these values — the two
-readings only diverge for payloads > 1 word).
+(2) the 128-value delta bit-pack block layout (the Go library switches
+to binary packing at 128; the layout below self-round-trips and is
+fuzzed in tests/test_intcomp.py, but no ciphertext pins it — the encoder
+therefore still emits <=127-value varint blocks by DEFAULT, with
+bitpack=True opting in), (3) whether ``len`` is really a length (it
+could be a constant scheme tag that coincidentally equals these values —
+the two readings only diverge for payloads > 1 word).
 """
 
 from __future__ import annotations
@@ -45,10 +46,60 @@ from __future__ import annotations
 import struct
 
 # The Go library bit-packs groups of 128; everything below that goes
-# through the varint tail path that the fixtures pin down. We chunk all
-# data into <=127-value varint blocks so every emitted block stays inside
-# the byte-verified regime.
+# through the varint tail path that the fixtures pin down. By default we
+# chunk all data into <=127-value varint blocks so every emitted block
+# stays inside the byte-verified regime; bitpack=True opts into the
+# 128-value delta bit-pack blocks below.
 _BLOCK = 127
+_BITPACK = 128
+
+
+# -- >=128-value delta bit-pack blocks ---------------------------------------
+# The Go library switches to binary packing for full 128-value groups:
+# wrapped deltas, the block's max delta bit width b, then 128 deltas packed
+# into ceil(128*b/W) words. No ciphertext in the reference tree exercises
+# this regime (the issue1045 fixtures only contain tail blocks), so the
+# exact header/word layout here is EXTRAPOLATED within the observed block
+# framing and kept SELF-CONSISTENT (encoder and decoder round-trip each
+# other, fuzzed in tests/test_intcomp.py): a real gnark file whose full
+# blocks deviate fails the trailer/shape checks loudly instead of
+# mis-decoding. Layout used:
+#   u32 : [128][len][b][packed words ...][len]        len = npacked + 3
+#   u64 : [128 | len<<32][b][packed words ...][len]   len = npacked + 2
+# Deltas are packed LSB-first: value i occupies bits [i*b, (i+1)*b) of the
+# packed little-endian bit stream.
+
+
+def _bitpack_words(deltas, b: int, width: int) -> list[int]:
+    if b == 0:
+        return []
+    total = _BITPACK * b
+    n_words = -(-total // width)
+    words = [0] * n_words
+    for i, d in enumerate(deltas):
+        bit = i * b
+        wi, off = divmod(bit, width)
+        words[wi] |= (d << off) & ((1 << width) - 1)
+        spill = off + b - width
+        if spill > 0:
+            words[wi + 1] |= d >> (b - spill)
+    return words
+
+
+def _bitunpack_words(words, b: int, width: int) -> list[int]:
+    if b == 0:
+        return [0] * _BITPACK
+    mask = (1 << b) - 1
+    out = []
+    for i in range(_BITPACK):
+        bit = i * b
+        wi, off = divmod(bit, width)
+        v = words[wi] >> off
+        spill = off + b - width
+        if spill > 0:
+            v |= (words[wi + 1] & ((1 << spill) - 1)) << (b - spill)
+        out.append(v & mask)
+    return out
 
 
 def _encode_payload(deltas, width: int) -> list[int]:
@@ -96,12 +147,38 @@ def _decode_payload(words, count: int, width: int):
     return deltas
 
 
-def _compress(values, width: int) -> list[int]:
+def _compress(values, width: int, bitpack: bool = False) -> list[int]:
     mask = (1 << width) - 1
     out = []
     prev = 0
-    for lo in range(0, len(values), _BLOCK):
+    lo = 0
+    n = len(values)
+    while lo < n:
+        if bitpack and n - lo >= _BITPACK:
+            blk = values[lo : lo + _BITPACK]
+            lo += _BITPACK
+            deltas = []
+            for v in blk:
+                deltas.append((v - prev) & mask)
+                prev = v
+            b = max((d.bit_length() for d in deltas), default=0)
+            packed = _bitpack_words(deltas, b, width)
+            if width == 32:
+                blen = len(packed) + 3  # len word + b word + trailer
+                out.append(_BITPACK)
+                out.append(blen)
+                out.append(b)
+                out.extend(packed)
+                out.append(blen)
+            else:
+                blen = len(packed) + 2  # b word + trailer
+                out.append(_BITPACK | (blen << 32))
+                out.append(b)
+                out.extend(packed)
+                out.append(blen)
+            continue
         blk = values[lo : lo + _BLOCK]
+        lo += len(blk)
         deltas = []
         for v in blk:
             deltas.append((v - prev) & mask)
@@ -154,29 +231,52 @@ def _uncompress(words, width: int) -> list[int]:
                 "likely an unverified-format block (see module docstring)"
             )
         off += 1
-        if count >= 128:
+        if count > 128:
             raise ValueError(
-                "intcomp: >=128-value block — the Go library's bit-pack "
-                "scheme for full blocks is not byte-verified here"
+                f"intcomp: block claims {count} values — outside both the "
+                "varint tail regime (<128) and the bit-pack regime (==128)"
             )
-        for d in _decode_payload(payload, count, width):
+        if count == _BITPACK:
+            # full-group delta bit-pack block (extrapolated layout — see
+            # the module docstring; shape mismatches fail loudly above)
+            if not payload:
+                raise ValueError("intcomp: bit-pack block missing width")
+            b = payload[0]
+            if b > width:
+                raise ValueError(
+                    f"intcomp: bit-pack width {b} > word width {width}"
+                )
+            expect = -(-(_BITPACK * b) // width) if b else 0
+            if len(payload) - 1 != expect:
+                raise ValueError(
+                    f"intcomp: bit-pack block has {len(payload) - 1} packed "
+                    f"words, want {expect} for width {b}"
+                )
+            deltas = _bitunpack_words(payload[1:], b, width)
+        else:
+            deltas = _decode_payload(payload, count, width)
+        for d in deltas:
             prev = (prev + d) & mask
             out.append(prev)
     return out
 
 
-def compress_u32(values) -> list[int]:
-    """[]uint32 -> compressed u32 words (≙ intcomp.CompressUint32)."""
-    return _compress([v & 0xFFFFFFFF for v in values], 32)
+def compress_u32(values, bitpack: bool = False) -> list[int]:
+    """[]uint32 -> compressed u32 words (≙ intcomp.CompressUint32).
+
+    bitpack=False (default) stays inside the byte-verified varint regime;
+    bitpack=True emits 128-value delta bit-pack blocks (extrapolated
+    layout — self-round-trips, not validated against Go ciphertext)."""
+    return _compress([v & 0xFFFFFFFF for v in values], 32, bitpack)
 
 
 def uncompress_u32(words) -> list[int]:
     return _uncompress(words, 32)
 
 
-def compress_u64(values) -> list[int]:
+def compress_u64(values, bitpack: bool = False) -> list[int]:
     """[]uint64 -> compressed u64 words (≙ intcomp.CompressUint64)."""
-    return _compress([v & 0xFFFFFFFFFFFFFFFF for v in values], 64)
+    return _compress([v & 0xFFFFFFFFFFFFFFFF for v in values], 64, bitpack)
 
 
 def uncompress_u64(words) -> list[int]:

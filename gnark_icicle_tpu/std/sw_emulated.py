@@ -151,11 +151,15 @@ class EmulatedCurve:
         self.fp.assert_equal(p.y, q.y)
 
     def assert_on_curve(self, p: AffinePoint):
-        """y² == x³ + a·x + b (≙ AssertIsOnCurve, point.go:213)."""
+        """(x, y) ∈ {y² == x³ + a·x + b} ∪ {(0, 0)} — the conventional
+        infinity encoding is accepted by selecting b=0 for it, exactly as
+        the reference does (≙ AssertIsOnCurve, point.go:213-228)."""
         fp = self.fp
+        is_inf = self.is_infinity(p)
+        b = fp.select(is_inf, fp.constant(0), fp.constant(self.params.b))
         y2 = fp.mul(p.y, p.y)
         x3 = fp.mul(fp.mul(p.x, p.x), p.x)
-        rhs = fp.add(x3, fp.constant(self.params.b))
+        rhs = fp.add(x3, b)
         if self.add_a:
             rhs = fp.add(rhs, fp.mul(self._a, p.x))
         fp.assert_equal(y2, rhs)

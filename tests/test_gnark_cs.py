@@ -51,6 +51,52 @@ def test_intcomp_u64_roundtrip():
     assert intcomp.uncompress_u64(intcomp.compress_u64(vals)) == vals
 
 
+@pytest.mark.parametrize("width", [32, 64])
+def test_intcomp_bitpack_roundtrip_fuzz(width):
+    """128-value delta bit-pack blocks (bitpack=True): self round-trip over
+    fuzzed shapes — sizes straddling the 128 boundary, delta extremes,
+    constant runs (0-bit packs), and mixed full+tail streams. The layout is
+    extrapolated (no Go ciphertext exercises it — module docstring), so
+    encoder/decoder mutual consistency IS the testable contract."""
+    comp = intcomp.compress_u32 if width == 32 else intcomp.compress_u64
+    uncomp = intcomp.uncompress_u32 if width == 32 else intcomp.uncompress_u64
+    top = (1 << width) - 1
+    rng = random.Random(width)
+    cases = [
+        [],
+        [5],
+        list(range(127)), list(range(128)), list(range(129)),
+        list(range(255)), list(range(256)), list(range(257)),
+        [7] * 384,                        # 0-bit packed blocks
+        [0, top] * 200,                   # max-width deltas
+        [top - i for i in range(300)],    # decreasing (wrapped deltas)
+        [rng.randrange(0, top + 1) for _ in range(1000)],
+        sorted(rng.randrange(0, top + 1) for _ in range(500)),
+    ]
+    for _ in range(25):
+        n = rng.randrange(0, 700)
+        cases.append([rng.randrange(0, top + 1) for _ in range(n)])
+    for vals in cases:
+        packed = comp(vals, bitpack=True)
+        assert uncomp(packed) == vals
+        # the default varint regime must be untouched by the new path
+        assert uncomp(comp(vals)) == vals
+
+
+def test_intcomp_bitpack_rejects_malformed():
+    vals = list(range(200))
+    words = intcomp.compress_u32(vals, bitpack=True)
+    # corrupt the bit-width word of the first (full) block: shape mismatch
+    bad = list(words)
+    bad[2] = 33  # width > 32
+    with pytest.raises(ValueError):
+        intcomp.uncompress_u32(bad)
+    bad = list(words)
+    bad[2] = (bad[2] + 1) % 33  # wrong width -> packed-word count mismatch
+    with pytest.raises(ValueError):
+        intcomp.uncompress_u32(bad)
+
+
 def test_intcomp_stream_framing():
     """Container framing matches ioutils: u64 word count + LE words, and
     streams concatenate back-to-back."""

@@ -599,8 +599,10 @@ class MSMKernel:
                              tuple(self.curve.b3_host))
             else:
                 tc = TCurve(self.curve.f.F, self.curve.b3_host)
-            # default OFF until the on-chip A/B validates it; the CPU
-            # bit-exactness test forces it on
+            # CLOSED lever (r4 A/B: 104k vs 341k pts/s @ 2^20 — the
+            # per-step batch-inversion latency chain loses 3x to the fused
+            # projective wave; PERF_NOTES.md round-4). Kept opt-in as a
+            # documented negative result + bit-exactness target.
             affine = os.environ.get("GNARK_TPU_AFFINE_MSM", "0") == "1"
             accumulate = (self._wave_accumulate_affine_t if affine
                           else self._wave_accumulate_t)

@@ -28,6 +28,37 @@ M_COMPRESSED_LARGEST = 0b11 << 6
 M_COMPRESSED_INFINITY = 0b01 << 6
 
 
+class _FlagScheme:
+    """Per-curve msb flag layout (gnark-crypto marshal.go constants).
+
+    Most curves use the 2-bit gnark scheme (mask 0b11<<6). BLS12-381 uses
+    a 3-bit scheme matching the zcash/ETH2 serialization (gnark-crypto
+    ecc/bls12-381/marshal.go: mMask 0b111<<5, compressed bit 0x80,
+    infinity 0x40, lexicographically-largest 0x20) — caught by the REAL
+    bellman fixtures (backend/groth16/bellman_test.go), whose points our
+    former 2-bit decode rejected as non-canonical."""
+
+    def __init__(self, mask, unc, unc_inf, small, large, inf):
+        self.mask = mask
+        self.unc = unc
+        self.unc_inf = unc_inf  # None = uncompressed infinity is all-zero
+        self.small = small
+        self.large = large
+        self.inf = inf
+
+
+_SCHEME_GNARK = _FlagScheme(
+    0b11 << 6, 0b00 << 6, None, 0b10 << 6, 0b11 << 6, 0b01 << 6
+)
+_SCHEME_ZCASH = _FlagScheme(
+    0b111 << 5, 0b000 << 5, 0b010 << 5, 0b100 << 5, 0b101 << 5, 0b110 << 5
+)
+
+
+def _scheme(curve) -> _FlagScheme:
+    return _SCHEME_ZCASH if curve.name == "bls12-381" else _SCHEME_GNARK
+
+
 def _fp_bytes(v: int, nb: int) -> bytes:
     return int(v).to_bytes(nb, "big")
 
@@ -81,19 +112,20 @@ def _lex_largest_fp2(y: Fp2) -> bool:
 
 def g1_to_bytes(curve, pt, compressed: bool = True) -> bytes:
     nb = curve.fp.nb_bytes
+    s = _scheme(curve)
     if compressed:
         if pt is None:
-            return bytes([M_COMPRESSED_INFINITY]) + bytes(nb - 1)
+            return bytes([s.inf]) + bytes(nb - 1)
         x, y = pt
         flag = (
-            M_COMPRESSED_LARGEST
-            if _lex_largest_fp(y, curve.fp.modulus)
-            else M_COMPRESSED_SMALLEST
+            s.large if _lex_largest_fp(y, curve.fp.modulus) else s.small
         )
         b = bytearray(_fp_bytes(x, nb))
         b[0] |= flag
         return bytes(b)
     if pt is None:
+        if s.unc_inf is not None:
+            return bytes([s.unc_inf]) + bytes(2 * nb - 1)
         return bytes(2 * nb)
     return _fp_bytes(pt[0], nb) + _fp_bytes(pt[1], nb)
 
@@ -102,10 +134,13 @@ def g1_from_bytes(curve, data: bytes, offset: int = 0):
     """Returns (point, bytes_consumed). Auto-detects compression by flags."""
     nb = curve.fp.nb_bytes
     p = curve.fp.modulus
-    flag = data[offset] & M_MASK
-    if flag == M_UNCOMPRESSED:
+    s = _scheme(curve)
+    flag = data[offset] & s.mask
+    if flag == s.unc or flag == s.unc_inf:
         x = int.from_bytes(data[offset : offset + nb], "big")
         y = int.from_bytes(data[offset + nb : offset + 2 * nb], "big")
+        if flag == s.unc_inf:  # explicit uncompressed-infinity flag
+            return None, 2 * nb
         if x == 0 and y == 0:
             return None, 2 * nb
         if x >= p or y >= p:  # ≙ gnark-crypto SetBytes canonicality
@@ -114,10 +149,12 @@ def g1_from_bytes(curve, data: bytes, offset: int = 0):
         if not curve.g1.is_on_curve(pt):
             raise ValueError("G1 point not on curve")
         return pt, 2 * nb
-    if flag == M_COMPRESSED_INFINITY:
+    if flag == s.inf:
         return None, nb
+    if flag not in (s.small, s.large):
+        raise ValueError(f"invalid G1 encoding flag {flag:#x}")
     xb = bytearray(data[offset : offset + nb])
-    xb[0] &= ~M_MASK & 0xFF
+    xb[0] &= ~s.mask & 0xFF
     x = int.from_bytes(bytes(xb), "big")
     if x >= p:
         raise ValueError("G1 coordinate not canonical (>= p)")
@@ -125,7 +162,7 @@ def g1_from_bytes(curve, data: bytes, offset: int = 0):
     y = _sqrt_fp(y2, p)
     if y is None:
         raise ValueError("invalid compressed G1 point")
-    if _lex_largest_fp(y, p) != (flag == M_COMPRESSED_LARGEST):
+    if _lex_largest_fp(y, p) != (flag == s.large):
         y = (-y) % p
     return (x, y), nb
 
@@ -136,19 +173,18 @@ def g1_from_bytes(curve, data: bytes, offset: int = 0):
 
 def g2_to_bytes(curve, pt, compressed: bool = True) -> bytes:
     nb = curve.fp.nb_bytes
+    s = _scheme(curve)
     if compressed:
         if pt is None:
-            return bytes([M_COMPRESSED_INFINITY]) + bytes(2 * nb - 1)
+            return bytes([s.inf]) + bytes(2 * nb - 1)
         x, y = pt
-        flag = (
-            M_COMPRESSED_LARGEST
-            if _lex_largest_fp2(y)
-            else M_COMPRESSED_SMALLEST
-        )
+        flag = s.large if _lex_largest_fp2(y) else s.small
         b = bytearray(_fp_bytes(x.c1, nb) + _fp_bytes(x.c0, nb))
         b[0] |= flag
         return bytes(b)
     if pt is None:
+        if s.unc_inf is not None:
+            return bytes([s.unc_inf]) + bytes(4 * nb - 1)
         return bytes(4 * nb)
     x, y = pt
     return (
@@ -160,13 +196,16 @@ def g2_to_bytes(curve, pt, compressed: bool = True) -> bytes:
 def g2_from_bytes(curve, data: bytes, offset: int = 0):
     nb = curve.fp.nb_bytes
     tp = curve.tower
-    flag = data[offset] & M_MASK
+    s = _scheme(curve)
+    flag = data[offset] & s.mask
     p = curve.fp.modulus
-    if flag == M_UNCOMPRESSED:
+    if flag == s.unc or flag == s.unc_inf:
         vals = [
             int.from_bytes(data[offset + i * nb : offset + (i + 1) * nb], "big")
             for i in range(4)
         ]
+        if flag == s.unc_inf:
+            return None, 4 * nb
         if all(v == 0 for v in vals):
             return None, 4 * nb
         if any(v >= p for v in vals):
@@ -177,10 +216,12 @@ def g2_from_bytes(curve, data: bytes, offset: int = 0):
         if not curve.g2.is_on_curve(pt):
             raise ValueError("G2 point not on curve")
         return pt, 4 * nb
-    if flag == M_COMPRESSED_INFINITY:
+    if flag == s.inf:
         return None, 2 * nb
+    if flag not in (s.small, s.large):
+        raise ValueError(f"invalid G2 encoding flag {flag:#x}")
     xb = bytearray(data[offset : offset + 2 * nb])
-    xb[0] &= ~M_MASK & 0xFF
+    xb[0] &= ~s.mask & 0xFF
     x1 = int.from_bytes(bytes(xb[:nb]), "big")
     x0 = int.from_bytes(bytes(xb[nb:]), "big")
     if x0 >= p or x1 >= p:
@@ -190,7 +231,7 @@ def g2_from_bytes(curve, data: bytes, offset: int = 0):
     y = _sqrt_fp2(y2)
     if y is None:
         raise ValueError("invalid compressed G2 point")
-    if _lex_largest_fp2(y) != (flag == M_COMPRESSED_LARGEST):
+    if _lex_largest_fp2(y) != (flag == s.large):
         y = -y
     return (x, y), 2 * nb
 

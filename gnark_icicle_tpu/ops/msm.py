@@ -535,9 +535,21 @@ class MSMKernel:
             (mag == 0) | inf_mask[None, :], B, mag - 1
         )  # (W, N); trash bucket index B
 
-        order = jnp.argsort(bucket_id, axis=1)
-        sorted_bid = jnp.take_along_axis(bucket_id, order, axis=1)
-        sorted_sign = jnp.take_along_axis(sign, order, axis=1)
+        # ONE payload-carrying sort replaces argsort + three (W·N)-element
+        # gathers (phase A was 24% of the 2^22 MSM — PERF_NOTES round-3
+        # budget): the sign rides in the key's low bit (order within a
+        # bucket is irrelevant to the wave accumulation), the point index
+        # is the sort payload, so sorted_bid/sorted_sign/order all fall out
+        # of the single sort.
+        key = (bucket_id.astype(jnp.int32) << 1) | sign.astype(jnp.int32)
+        iota = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :], key.shape
+        )
+        sorted_key, order = jax.lax.sort(
+            (key, iota), dimension=1, num_keys=1
+        )
+        sorted_bid = sorted_key >> 1
+        sorted_sign = (sorted_key & 1).astype(jnp.bool_)
 
         # contiguous run [start, end) per (window, bucket) via binary search
         bvals = jnp.arange(B, dtype=sorted_bid.dtype)

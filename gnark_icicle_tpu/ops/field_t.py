@@ -150,17 +150,24 @@ class TFieldOps:
         return self._redc(self._wide(xr, yr))
 
     # -- MXU-REDC variant -----------------------------------------------------
-    def redc_tables(self, pad_to: int = 128):
+    def redc_tables(self, pad_to: int | None = None):
         """Host bf16 Toeplitz tables for the two REDC constant products
         (≙ MXUConstMul's np/p tables, transposed orientation): row i,
         col c hold the constant's 8-bit limb (c − i). Lane-padded to
         `pad_to` columns — Mosaic wants full lane tiles as kernel inputs
         (same trick as ops/ec_pallas._TileFieldMXU). bf16 entries ≤ 255
         are exact (8 significand bits), and bf16×bf16→fp32 is the MXU's
-        NATIVE full-rate mode — fp32 inputs run the slow emulated path."""
+        NATIVE full-rate mode — fp32 inputs run the slow emulated path.
+
+        pad_to defaults to the smallest 128-lane multiple that fits the
+        full-product column span 2·K8: the former fixed 128 overflowed
+        for fields beyond 32 bytes (BW6-761 Fp, K=48 → K8=96 → columns up
+        to 190 — the r4c 2-chain device-prove crash)."""
         import ml_dtypes
 
         K8 = 2 * self.K
+        if pad_to is None:
+            pad_to = -(-(2 * K8) // 128) * 128
         np8 = [(self.F.nprime >> (8 * i)) & 0xFF for i in range(K8)]
         p8 = [(self.F.modulus >> (8 * i)) & 0xFF for i in range(K8)]
         np_t = np.zeros((K8, pad_to), np.float32)

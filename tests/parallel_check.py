@@ -46,14 +46,15 @@ def main():
     n = 1 << log_n
     vals = [rng.randrange(bn254.R) for _ in range(n)]
     x = ctx.fr_mont(vals)
+    x_host = np.asarray(x)  # Domain/Sharded transforms DONATE their inputs
     dom = ctx.domain(log_n)
-    want = np.asarray(dom.ntt(x))
+    want = np.asarray(dom.ntt(jnp.array(x)))
     sntt = ShardedNTT(ctx.fr_dev, bn254.FR, log_n, mesh, "shard")
-    got = np.asarray(sntt.ntt(x))
+    got = np.asarray(sntt.ntt(jnp.array(x)))
     assert (got == want).all(), "sharded NTT mismatch"
 
-    roundtrip = np.asarray(sntt.intt(sntt.ntt(x)))
-    assert (roundtrip == np.asarray(x)).all(), "sharded NTT roundtrip failed"
+    roundtrip = np.asarray(sntt.intt(sntt.ntt(jnp.array(x))))
+    assert (roundtrip == x_host).all(), "sharded NTT roundtrip failed"
     print("sharded NTT: OK")
 
     # --- sharded MSM vs host oracle (N = 64, d = 8) ------------------------

@@ -79,7 +79,7 @@ class TCurve:
 
     _cache: dict = {}
 
-    def __new__(cls, F: LimbField, b3_host: int, block_n: int = 2048):
+    def __new__(cls, F: LimbField, b3_host: int, block_n: int | None = None):
         key = ("tcurve", F.modulus, b3_host, block_n)
         if key in cls._cache:
             return cls._cache[key]
@@ -87,14 +87,18 @@ class TCurve:
         cls._cache[key] = self
         return self
 
-    def __init__(self, F: LimbField, b3_host: int, block_n: int = 2048):
+    def __init__(self, F: LimbField, b3_host: int,
+                 block_n: int | None = None):
         if getattr(self, "_initialized", False):
             return
         self._initialized = True
         self.F = F
         self.t = TFieldOps(F)
         self.K = F.K
-        self.block_n = block_n
+        # VMEM-bounded lane block: the fused kernels hold ~10 (K, block_n)
+        # i32 temps; 2048 lanes fit at K=16 but overflow VMEM at the
+        # 48-limb BW6-761 Fp (the r4d remote-compile OOM) — scale 1/K
+        self.block_n = block_n or max(512, (2048 * 16 // F.K) // 256 * 256)
         R = 1 << (16 * F.K)
         self.b3_mont = b3_host * R % F.modulus
         self.one_mont = R % F.modulus
@@ -415,7 +419,8 @@ class TCurve2:
     # block 1024 (vs TCurve's 2048): the fused Karatsuba kernel holds ~3
     # concurrent base-mul intermediate sets — 2048 lanes needs 19.5 MB of
     # scoped VMEM vs the 16 MB limit (measured Mosaic OOM at 2^16 G2 MSM)
-    def __new__(cls, F: LimbField, beta: int, b3_host, block_n: int = 1024):
+    def __new__(cls, F: LimbField, beta: int, b3_host,
+                block_n: int | None = None):
         key = ("tcurve2", F.modulus, beta, b3_host, block_n)
         if key in cls._cache:
             return cls._cache[key]
@@ -423,7 +428,8 @@ class TCurve2:
         cls._cache[key] = self
         return self
 
-    def __init__(self, F: LimbField, beta: int, b3_host, block_n: int = 1024):
+    def __init__(self, F: LimbField, beta: int, b3_host,
+                 block_n: int | None = None):
         if getattr(self, "_initialized", False):
             return
         self._initialized = True
@@ -431,7 +437,8 @@ class TCurve2:
         self.t = TFieldOps(F)
         self.t2 = TField2Ops(self.t, beta)
         self.K = F.K
-        self.block_n = block_n
+        # Fp2 kernels hold twice the planes: half the G1 lane block
+        self.block_n = block_n or max(256, (1024 * 16 // F.K) // 256 * 256)
         R = 1 << (16 * F.K)
         self.b3_mont = tuple(c * R % F.modulus for c in b3_host)  # (c0, c1)
         self.one_mont = R % F.modulus

@@ -59,12 +59,15 @@ def _pad_msm_inputs(points, inf, scal, d: int):
     Small operands (< 4096 rows) pad to multiples of max(d, 64): tiny MSMs
     are dominated by per-shape jit compiles (minutes each on XLA-CPU), so
     collapsing n=35/37/38/64 onto ONE shape turns the prover's four MSMs
-    into one compile — the MULTICHIP_r03 budget fix. Large operands keep
-    exact-to-d shapes (padding 2^20 rows to cut compile count would cost
-    real throughput)."""
+    into one compile — the MULTICHIP_r03 budget fix. Larger operands pad
+    to 1024-multiples: ≤0.1%% extra work, and the prover's A/B1/K MSMs
+    (n, n, n−2 wires) share one kernel instead of compiling three — the
+    2-chain BW6 prove spent ~40 min compiling near-identical shapes."""
+    import math
+
     n = scal.shape[0]
-    if n < 4096:
-        d = max(d, 64)
+    base = 64 if n < 4096 else 1024
+    d = d * base // math.gcd(d, base)  # lcm: mesh width must still divide
     pad = (-n) % d
     if pad == 0:
         return points, inf, scal

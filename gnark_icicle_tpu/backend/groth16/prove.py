@@ -232,6 +232,25 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         ).digest()
         ck = _Checkpoint(checkpoint_dir, binding)
 
+    # overlap PK device staging with the host witness solve (SURVEY
+    # §2.4(d) explicit async dispatch; ≙ the reference's lazy
+    # setupDevicePointers running while the CPU solves, icicle.go:145-150):
+    # the staging thread's numpy/jax work releases the GIL, the solve
+    # spends its time inside the native core which does too.
+    stage_box = {}
+    stage_thread = None
+    if engine == "device":
+        import threading
+
+        def _stage():
+            try:
+                stage_box["dev"] = pk.device_arrays(ctx)
+            except Exception as e:  # re-raised on join
+                stage_box["err"] = e
+
+        stage_thread = threading.Thread(target=_stage, daemon=True)
+        stage_thread.start()
+
     res = None
     if ck is not None:
         saved = ck.load("solve")
@@ -320,9 +339,16 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     t_h = time.perf_counter()
     logger().info("groth16 prove: computeH took=%.3fs", t_h - t_solved)
 
-    dev = pk.device_arrays(ctx)
+    if stage_thread is not None:
+        stage_thread.join()
+        if "err" in stage_box:
+            raise stage_box["err"]
+        dev = stage_box["dev"]
+    else:
+        dev = pk.device_arrays(ctx)
     t_pk = time.perf_counter()
-    logger().info("groth16 prove: pk staging took=%.3fs", t_pk - t_h)
+    logger().info("groth16 prove: pk staging took=%.3fs (overlapped)",
+                  t_pk - t_h)
     wires_u16 = res.wires_u16()
     wires = ctx.fr_scalars(wires_u16)
     nw = wires_u16.shape[0]

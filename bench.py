@@ -113,6 +113,8 @@ def main():
         return bench_groth16(log_n, iters)
     if metric == "msm_g2":
         return bench_msm_g2(log_n, iters)
+    if metric == "plonk":
+        return bench_plonk(log_n, iters)
 
     import jax.numpy as jnp
 
@@ -306,6 +308,59 @@ def bench_ntt(log_n: int, iters: int):
     assert got_j == want, "NTT output failed host verification"
 
     _emit(f"ntt_fr_bn254_2^{log_n}", n / best, "elems/s")
+
+
+def bench_plonk(log_n: int, iters: int):
+    """End-to-end PLONK prove latency on the same synthetic chain circuit
+    as bench_groth16 (SCS builder; quotient over the 4n coset, KZG batch
+    openings — the full device pipeline). Setup/compile excluded."""
+    import random
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.frontend import (
+        Circuit, Public, Secret, compile_circuit,
+    )
+    from gnark_icicle_tpu.backend import plonk
+    from gnark_icicle_tpu.logger import logger
+
+    q = bn254.R
+    steps = (1 << log_n) - 8  # gate count ~2^log_n after builder overhead
+
+    class Chain(Circuit):
+        x = Secret()
+        out = Public()
+
+        def define(self, api):
+            v = self.x
+            for i in range(steps):
+                v = api.add(api.mul(v, v), v, i)
+            api.assert_is_equal(v, self.out)
+
+    t0 = time.perf_counter()
+    cs = compile_circuit(q, Chain, builder="scs")
+    logger().info("bench_plonk: compiled %d gates in %.1fs",
+                  cs.nb_gates, time.perf_counter() - t0)
+
+    x0 = 3
+    v = x0
+    for i in range(steps):
+        v = (v * v + v + i) % q
+    pub, sec = [v], [x0]
+
+    t0 = time.perf_counter()
+    pk, vk = plonk.setup(cs, bn254.BN254, rng=random.Random(1))
+    logger().info("bench_plonk: setup in %.1fs", time.perf_counter() - t0)
+
+    rng = random.Random(2)
+    proof = plonk.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)  # warmup
+    plonk.verify(proof, vk, pub, bn254.BN254)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        proof = plonk.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)
+        times.append(time.perf_counter() - t0)
+    plonk.verify(proof, vk, pub, bn254.BN254)
+    _emit(f"plonk_prove_bn254_2^{log_n}g", min(times), "s/proof")
 
 
 def bench_groth16(log_n: int, iters: int):

@@ -324,7 +324,9 @@ def bench_plonk(log_n: int, iters: int):
     from gnark_icicle_tpu.logger import logger
 
     q = bn254.R
-    steps = (1 << log_n) - 8  # gate count ~2^log_n after builder overhead
+    # each chain step lowers to ~3 SCS gates (mul + two adds) — size the
+    # step count so the compiled gate count lands just under 2^log_n
+    steps = ((1 << log_n) - 16) // 3
 
     class Chain(Circuit):
         x = Secret()
@@ -360,7 +362,7 @@ def bench_plonk(log_n: int, iters: int):
         proof = plonk.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)
         times.append(time.perf_counter() - t0)
     plonk.verify(proof, vk, pub, bn254.BN254)
-    _emit(f"plonk_prove_bn254_2^{log_n}g", min(times), "s/proof")
+    _emit(f"plonk_prove_bn254_2^{pk.log_n}d", min(times), "s/proof")
 
 
 def bench_groth16(log_n: int, iters: int):

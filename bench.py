@@ -98,15 +98,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from gnark_icicle_tpu.curves import bn254
-    from gnark_icicle_tpu.device import DeviceCtx
-    from gnark_icicle_tpu.ops.msm import pick_window
-
     log_n = int(os.environ.get("BENCH_LOG_N", "20"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    n = 1 << log_n
 
-    metric = os.environ.get("BENCH_METRIC", "msm")
+    metric = os.environ.get("BENCH_METRIC", "suite")
     if metric == "ntt":
         return bench_ntt(log_n, iters)
     if metric == "groth16":
@@ -115,8 +110,37 @@ def main():
         return bench_msm_g2(log_n, iters)
     if metric == "plonk":
         return bench_plonk(log_n, iters)
+    if metric == "msm":
+        return bench_msm(log_n, iters)
+    # default: the three BASELINE.md north stars, one line each, the
+    # headline (staged 2^24 MSM — the best-characterized large-N number)
+    # LAST so the driver's tail-parse records it. Steps are fault-isolated:
+    # a worker crash mid-suite still leaves the earlier lines.
+    fns = {"groth16": bench_groth16, "ntt": bench_ntt, "msm": bench_msm,
+           "msm_g2": bench_msm_g2, "plonk": bench_plonk}
+    spec = os.environ.get("BENCH_SUITE", "groth16:17,ntt:22,msm:24")
+    for part in spec.split(","):
+        name, _, ln = part.strip().partition(":")
+        try:
+            fns[name](int(ln) if ln else log_n, iters)
+        except Exception as e:  # keep going — later metrics still matter
+            print(json.dumps({
+                "metric": f"{name}_2^{ln or log_n}", "value": None,
+                "unit": "error", "vs_baseline": None, "error": str(e)[:200],
+            }))
+    return
 
+
+def bench_msm(log_n: int, iters: int):
+    """Headline: staged-scalar BN254 G1 MSM throughput (BENCH_METRIC=msm)."""
+    import jax
     import jax.numpy as jnp
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.device import DeviceCtx
+    from gnark_icicle_tpu.ops.msm import pick_window
+
+    n = 1 << log_n
 
     ctx = DeviceCtx(bn254.BN254)
     nprng = np.random.default_rng(7)

@@ -154,6 +154,11 @@ class _Checkpoint:
             pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, self._p(name + ".pkl"))  # atomic vs preemption
 
+    def has(self, name) -> bool:
+        import os
+
+        return os.path.exists(self._p(name + ".pkl"))
+
 
 def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
           rng=None, checkpoint_dir: str | None = None,
@@ -239,7 +244,10 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     # spends its time inside the native core which does too.
     stage_box = {}
     stage_thread = None
-    if engine == "device":
+    # skip staging when a resumed run already holds the MSM results — the
+    # staged arrays would never be read (and the transfer competes with
+    # whatever stage comes next on the single axon chip)
+    if engine == "device" and not (ck is not None and ck.has("msms")):
         import threading
 
         def _stage():
@@ -344,6 +352,8 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         if "err" in stage_box:
             raise stage_box["err"]
         dev = stage_box["dev"]
+    elif ck is not None and ck.has("msms"):
+        dev = None  # resumed past the MSM stage: the PK is never read
     else:
         dev = pk.device_arrays(ctx)
     t_pk = time.perf_counter()
@@ -413,10 +423,11 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         if ck is not None:
             ck.save("msms", msms)
     if msms is None:
-        # pad tiny operands to one shared (shape, window) jit signature —
+        # pad operands to one shared (shape, window) jit signature —
         # n=35/37/64 would otherwise compile three separate MSM kernels
-        # (minutes each on XLA-CPU; the MULTICHIP_r03 timeout). No-op at
-        # production sizes (≥4096 rows keep exact shapes).
+        # (minutes each on XLA-CPU; the MULTICHIP_r03 timeout). Production
+        # sizes pad to 1024-multiples (≤0.1% extra identity rows) so the
+        # A/B1/K MSMs share one compiled kernel.
         from ...parallel.pipeline import _pad_msm_inputs
 
         def _msm(kern, pts, inf, scal):

@@ -200,7 +200,8 @@ class R1CS:
         tree once at compile time, core.go:111).
         """
         cache = getattr(self, "_levels_cache", None)
-        if cache is not None and cache[0] == len(self.instructions):
+        ckey = (len(self.instructions), len(self.term_coeff))
+        if cache is not None and cache[0] == ckey:
             return cache[1]
         n_in = self.nb_public + self.nb_secret
         wire_level: dict[int, int] = {}  # producer level per wire
@@ -234,7 +235,7 @@ class R1CS:
             while len(levels) <= lvl:
                 levels.append([])
             levels[lvl].append(pos)
-        self._levels_cache = (len(self.instructions), levels)
+        self._levels_cache = (ckey, levels)
         return levels
 
     def constraint_slots(self, j: int):

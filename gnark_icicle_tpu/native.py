@@ -412,7 +412,8 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
         # The flattened step list is cached on the CS with the order arrays
         # prebuilt — list→numpy of a 2^17-entry order was ~0.5 s per solve.
         sched = getattr(cs, "_native_sched_cache", None)
-        if sched is None or sched[0] != len(cs.instructions):
+        skey = (len(cs.instructions), len(cs.term_coeff))
+        if sched is None or sched[0] != skey:
             par_min = max(256, 64 * (os.cpu_count() or 1))
             steps: list = []  # ("run", order_np, parallel) | ("hint", idx)
             seq: list = []
@@ -444,7 +445,7 @@ def solve_native(cs, public_values, secret_values, hint_overrides=None):
                     steps.append(
                         ("run", np.asarray(batch, dtype=np.int64), True))
             _flush_seq()
-            sched = (len(cs.instructions), steps)
+            sched = (skey, steps)
             cs._native_sched_cache = sched
         for step in sched[1]:
             if step[0] == "run":

@@ -60,7 +60,7 @@ def _pad_msm_inputs(points, inf, scal, d: int):
     are dominated by per-shape jit compiles (minutes each on XLA-CPU), so
     collapsing n=35/37/38/64 onto ONE shape turns the prover's four MSMs
     into one compile — the MULTICHIP_r03 budget fix. Larger operands pad
-    to 1024-multiples: ≤0.1%% extra work, and the prover's A/B1/K MSMs
+    to 1024-multiples: ≤0.1% extra work, and the prover's A/B1/K MSMs
     (n, n, n−2 wires) share one kernel instead of compiling three — the
     2-chain BW6 prove spent ~40 min compiling near-identical shapes."""
     import math

@@ -30,6 +30,7 @@ Fiat-Shamir follows gnark's byte format exactly for fs_hash="sha256"
 from __future__ import annotations
 
 import secrets
+import time
 
 import numpy as np
 
@@ -270,6 +271,16 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
 
         overrides = {hintlib.BSB22_PLACEHOLDER: bsb22_override}
 
+    from ...logger import logger
+
+    _t = {"last": time.perf_counter()}
+
+    def _mark(stage):
+        now = time.perf_counter()
+        logger().info("plonk prove: %s took=%.3fs", stage,
+                      now - _t["last"])
+        _t["last"] = now
+
     solved = ck.load("solve") if ck is not None else None
     if solved is not None:
         (wires, av, bv, cv, bsb22_coms, pi2_coeffs,
@@ -280,6 +291,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         if ck is not None:
             ck.save("solve", (wires, av, bv, cv, bsb22_coms, pi2_coeffs,
                               commitment_vals))
+    _mark("solve")
     av += [0] * (n - len(av))
     bv += [0] * (n - len(bv))
     cv += [0] * (n - len(cv))
@@ -304,6 +316,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         if ck is not None:
             ck.save("round1",
                     (a_coeffs, b_coeffs, c_coeffs, a_com, b_com, c_com))
+    _mark("round1 wire commits")
     for cm in (a_com, b_com, c_com):
         ts.bind_point(b"gamma", curve, cm)
     gamma = ts.challenge(b"gamma")
@@ -320,7 +333,15 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         p = int(sigma[col * n + j])
         return tags[p // n] * omega_pows[p % n] % q
 
+    # Z via prefix products + ONE batched inversion (Montgomery's trick):
+    # the naive recurrence pays a ~µs-scale pow(den, -1, q) PER ROW — n
+    # modular inversions dominated stage 2 at large domains. Here:
+    # zv[j+1] = Pnum[j] · inv(Pden[j]) with all prefix-product inverses
+    # unwound from one inversion of the full product (~5n mulmods total).
     zv = [1] * n
+    dens = [0] * (n - 1)
+    pnum = [0] * (n - 1)
+    run = 1
     for j in range(n - 1):
         num = (av[j] + beta * omega_pows[j] + gamma) % q
         num = num * ((bv[j] + beta * k1 * omega_pows[j] + gamma) % q) % q
@@ -328,7 +349,17 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         den = (av[j] + beta * sigma_val(0, j) + gamma) % q
         den = den * ((bv[j] + beta * sigma_val(1, j) + gamma) % q) % q
         den = den * ((cv[j] + beta * sigma_val(2, j) + gamma) % q) % q
-        zv[j + 1] = zv[j] * num % q * pow(den, -1, q) % q
+        dens[j] = den
+        run = run * num % q
+        pnum[j] = run
+    if n > 1:
+        run = 1
+        for j in range(n - 1):
+            run = run * dens[j] % q
+        inv = pow(run, -1, q)  # ∏ den_j ≠ 0 for a valid witness
+        for j in range(n - 2, -1, -1):
+            zv[j + 1] = pnum[j] * inv % q
+            inv = inv * dens[j] % q
 
     round2 = ck.load("round2") if ck is not None else None
     if round2 is not None:
@@ -338,6 +369,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         z_com = kzg.commit(z_coeffs)
         if ck is not None:
             ck.save("round2", (z_coeffs, z_com))
+    _mark("round2 Z")
     for cm in bsb22_coms:  # α binds the BSB22 commitments (≙ prove.go:471)
         ts.bind_point(b"alpha", curve, cm)
     ts.bind_point(b"alpha", curve, z_com)
@@ -355,7 +387,13 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         qk_full[ci] = (qk_full[ci] + commitment_vals[i]) % q
     qk_full_coeffs = evals_to_coeffs(qk_full)
 
-    zw_coeffs = [c * pow(omega, i, q) % q for i, c in enumerate(z_coeffs)]
+    # z(ωX) coefficient scaling with a RUNNING power (the pow(omega, i, q)
+    # per coefficient was n modexps ≈ n·log n mulmods)
+    zw_coeffs = []
+    wp = 1
+    for c in z_coeffs:
+        zw_coeffs.append(c * wp % q)
+        wp = wp * omega % q
 
     # all columns as DEVICE Montgomery evals on the 4n coset
     shard = n + 2
@@ -408,6 +446,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             )
         if ck is not None:
             ck.save("quotient", (t1, t2, t3, h_coms))
+    _mark("round3 quotient")
     for cm in h_coms:
         ts.bind_point(b"zeta", curve, cm)
     zeta = ts.challenge(b"zeta")
@@ -477,6 +516,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         gi = gi * gamma_kzg % q
     _, batch_h = kzg.open(folded, zeta)
 
+    _mark("round4 linearization+openings")
     return Proof(
         lro=(a_com, b_com, c_com), z_com=z_com, h_coms=h_coms,
         batch_h=batch_h, batch_claimed=claimed,

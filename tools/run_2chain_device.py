@@ -110,14 +110,30 @@ def main():
     )
     opub, osec = w.witness_values(b377.P)
 
-    t0 = time.time()
-    oproof = groth16.prove(cs, pk, opub, osec, bw6.BW6_761,
-                           rng=random.Random(6), engine="device",
-                           checkpoint_dir=os.path.join(CK, "prove_ck"))
-    dt = time.time() - t0
+    # --iters N: amortization measurement (VERDICT r4 item 2) — N full
+    # proves in ONE process, NO checkpoint resume. The first proof pays
+    # the per-process axon AOT executable loads (30-170 s/kernel); later
+    # proofs are the marginal latency a persistent prover service gets.
+    iters = 1
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    ck_dir = None if iters > 1 else os.path.join(CK, "prove_ck")
+    times = []
+    oproof = None
+    for it in range(iters):
+        t0 = time.time()
+        oproof = groth16.prove(cs, pk, opub, osec, bw6.BW6_761,
+                               rng=random.Random(6 + it), engine="device",
+                               checkpoint_dir=ck_dir)
+        times.append(time.time() - t0)
+        print(f"[2chain] prove iter {it}: {times[-1]:.1f}s", flush=True)
+    dt = times[0]
     groth16.verify(oproof, ovk, opub, bw6.BW6_761)
     print(f"[2chain] OUTER DEVICE PROVE OK in {dt:.1f}s "
           f"(host engine took ~6600s in round 2)", flush=True)
+    if iters > 1:
+        print(f"[2chain] marginal prove: {min(times[1:]):.1f}s "
+              f"(first-proof {times[0]:.1f}s incl. AOT loads)", flush=True)
 
     from gnark_icicle_tpu.backend.groth16.verify import VerificationError
 

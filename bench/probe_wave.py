@@ -113,46 +113,54 @@ def main():
         hi = rows >> 16
         return jnp.stack([lo, hi], axis=1).reshape(K, S)
 
+    # every large array rides as a runtime ARGUMENT — closed-over device
+    # arrays embed as inline HLO constants and blow the remote-compile
+    # request limit (HTTP 413; same fix as ops/ntt.py round 3)
     def make_loop(gather: str, addmode: str):
-        def body(t, acc):
-            if gather == "real":
-                idx_sorted = jnp.clip(starts_p + t, 0, n - 1)
-                flat_idx = win_of_lane * n + idx_sorted
-                pt_idx = order_flat[flat_idx]
-                g = packed[pt_idx]
-            else:  # contiguous slice, same bytes
-                g = jax.lax.dynamic_slice(
-                    packed, (jnp.clip(t, 0, n - S - 1), 0), (S, K))
-            if addmode == "xor_raw":  # no transpose/unpack either
-                return (acc[0],
-                        jnp.bitwise_xor(acc[1], jnp.transpose(g, (1, 0))[:K]),
-                        acc[2])
-            gt = jnp.transpose(g, (1, 0)).astype(jnp.uint32)
-            qx = unpack(gt[:K2], S).astype(jnp.int32)
-            qy = unpack(gt[K2:], S).astype(jnp.int32)
-            valid = t < counts_p
-            sg = sign_flat[jnp.clip(win_of_lane * n + starts_p + t,
-                                    0, W * n - 1)].astype(jnp.int32)
-            if addmode == "ec":
-                return tc.add_mixed_masked(acc, (qx, qy), valid, sg)
-            # xor: keeps the gather+unpack data path, no EC math
-            return (jnp.bitwise_xor(acc[0], qx),
-                    jnp.bitwise_xor(acc[1], qy), acc[2])
-
         @jax.jit
-        def run(acc0):
+        def run(acc0, packed, starts_p, counts_p, win_of_lane,
+                order_flat, sign_flat):
+            def body(t, acc):
+                if gather == "real":
+                    idx_sorted = jnp.clip(starts_p + t, 0, n - 1)
+                    flat_idx = win_of_lane * n + idx_sorted
+                    pt_idx = order_flat[flat_idx]
+                    g = packed[pt_idx]
+                else:  # contiguous slice, same bytes
+                    g = jax.lax.dynamic_slice(
+                        packed, (jnp.clip(t, 0, n - S - 1), 0), (S, K))
+                if addmode == "xor_raw":  # no transpose/unpack either
+                    return (acc[0],
+                            jnp.bitwise_xor(acc[1],
+                                            jnp.transpose(g, (1, 0))[:K]),
+                            acc[2])
+                gt = jnp.transpose(g, (1, 0)).astype(jnp.uint32)
+                qx = unpack(gt[:K2], S).astype(jnp.int32)
+                qy = unpack(gt[K2:], S).astype(jnp.int32)
+                valid = t < counts_p
+                sg = sign_flat[jnp.clip(win_of_lane * n + starts_p + t,
+                                        0, W * n - 1)].astype(jnp.int32)
+                if addmode == "ec":
+                    return tc.add_mixed_masked(acc, (qx, qy), valid, sg)
+                # xor: keeps the gather+unpack data path, no EC math
+                return (jnp.bitwise_xor(acc[0], qx),
+                        jnp.bitwise_xor(acc[1], qy), acc[2])
+
             return jax.lax.fori_loop(0, T, body, acc0)
 
         return run
 
+    big_args = (packed, starts_p, counts_p, win_of_lane,
+                order_flat, sign_flat)
+
     def timed(fn, mk_args, iters=2):
-        out = fn(mk_args(0))
+        out = fn(mk_args(0), *big_args)
         np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
         ts = []
         for i in range(iters):
             a = jax.block_until_ready(mk_args(i + 1))
             t0 = time.perf_counter()
-            out = fn(a)
+            out = fn(a, *big_args)
             np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
             ts.append(time.perf_counter() - t0)
         return min(ts)
@@ -182,16 +190,28 @@ def main():
     x0 = jnp.asarray(rnd_limbs((K, S)).astype(np.int32))
     y0 = jnp.asarray(rnd_limbs((K, S)).astype(np.int32))
 
-    def mul_body(t, x):
-        for _ in range(11):
-            x = tc._mul(x, y0, True)
-        return x
-
     @jax.jit
-    def mul_run(x):
+    def mul_run(x, y):
+        def mul_body(t, x):
+            for _ in range(11):
+                x = tc._mul(x, y, True)
+            return x
+
         return jax.lax.fori_loop(0, T, mul_body, x)
 
-    t_mul = timed(mul_run, lambda i: x0.at[0, 0].set(i))
+    def timed_mul(iters=2):
+        out = mul_run(x0, y0)
+        np.asarray(jnp.sum(out.astype(jnp.float32)))
+        ts = []
+        for i in range(iters):
+            a = jax.block_until_ready(x0.at[0, 0].set(i + 1))
+            t0 = time.perf_counter()
+            out = mul_run(a, y0)
+            np.asarray(jnp.sum(out.astype(jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_mul = timed_mul()
     results["muls11"] = t_mul
     print(json.dumps({
         "probe": "muls11", "log_n": log_n, "steps": T, "lanes": S,

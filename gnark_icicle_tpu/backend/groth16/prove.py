@@ -162,7 +162,8 @@ class _Checkpoint:
 
 def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
           rng=None, checkpoint_dir: str | None = None,
-          engine: str = "device", mesh=None) -> Proof:
+          engine: str = "device", mesh=None,
+          commitment_hash="sha256") -> Proof:
     """Generate a Groth16 proof (≙ groth16.Prove, icicle path).
 
     checkpoint_dir: if set, persist each prover stage (solve, H, MSMs) so a
@@ -197,7 +198,8 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     if cs.commitments:
         from .. import pedersen
         from ..hash_to_field import (
-            COMMITMENT_DST, hash_to_fr, serialize_commitment,
+            COMMITMENT_DST, hash_to_fr, mimc_commitment_hash,
+            serialize_commitment,
         )
         from ...constraint import hints as hintlib
         from ...io.serialize import g1_to_bytes
@@ -214,6 +216,21 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
                 curve, pk.commitment_keys[i], committed_values[i]
             )
             commitment_pts[i] = cm
+            if (isinstance(commitment_hash, tuple)
+                    and commitment_hash[0] == "mimc"):
+                # recursion-friendly proof: the outer circuit replays this
+                # hash natively (≙ recursion.NewShort via
+                # WithProverHashToFieldFunction)
+                return [mimc_commitment_hash(
+                    commitment_hash[1], qmod, curve.fp.modulus, cm, hashed)]
+            if (isinstance(commitment_hash, tuple)
+                    and commitment_hash[0] == "evm"):
+                # Solidity-verifier-friendly proof: plain digest % r, the
+                # hash the exported contract computes in-contract
+                from ..hash_to_field import evm_commitment_hash
+
+                return [evm_commitment_hash(
+                    commitment_hash[1], qmod, cm, hashed)]
             msg = serialize_commitment(
                 g1_to_bytes(curve, cm, compressed=False), hashed, fr_bytes
             )

@@ -16,10 +16,14 @@ class VerificationError(Exception):
     pass
 
 
-def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
+def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
+           commitment_hash="sha256") -> None:
     """Raises VerificationError if the proof does not verify.
 
     public_values: the nb_public−1 public wire values (ONE implicit).
+    commitment_hash: "sha256" (gnark-parity RFC 9380 path) or
+    ("mimc", outer_modulus) for recursion-friendly proofs produced with
+    the same prove() option (≙ backend.WithVerifierHashToFieldFunction).
     """
     q = curve.fr.modulus
     g1, g2 = curve.g1, curve.g2
@@ -53,7 +57,8 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
     if vk.commitment_keys:
         from .. import pedersen
         from ..hash_to_field import (
-            COMMITMENT_DST, G16_FOLD_DST, hash_to_fr, serialize_commitment,
+            COMMITMENT_DST, G16_FOLD_DST, hash_to_fr, mimc_commitment_hash,
+            serialize_commitment,
         )
         from ...io.serialize import g1_to_bytes
 
@@ -61,6 +66,20 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve) -> None:
             raise VerificationError("wrong number of commitments in proof")
         fr_bytes = (q.bit_length() + 7) // 8
         for i, committed_idx in enumerate(vk.public_and_commitment_committed):
+            if (isinstance(commitment_hash, tuple)
+                    and commitment_hash[0] == "mimc"):
+                xs.append(mimc_commitment_hash(
+                    commitment_hash[1], q, curve.fp.modulus,
+                    proof.commitments[i], [xs[j] for j in committed_idx]))
+                continue
+            if (isinstance(commitment_hash, tuple)
+                    and commitment_hash[0] == "evm"):
+                from ..hash_to_field import evm_commitment_hash
+
+                xs.append(evm_commitment_hash(
+                    commitment_hash[1], q, proof.commitments[i],
+                    [xs[j] for j in committed_idx]))
+                continue
             msg = serialize_commitment(
                 g1_to_bytes(curve, proof.commitments[i], compressed=False),
                 [xs[j] for j in committed_idx],

@@ -17,6 +17,78 @@ import hashlib
 
 COMMITMENT_DST = b"bsb22-commitment"
 G16_FOLD_DST = b"G16-BSB22"
+MIMC_COMMITMENT_TAG = b"bsb22-mimc"
+
+
+def evm_commitment_hash(hash_name: str, modulus: int, point,
+                        committed_values) -> int:
+    """EVM-friendly BSB22 commitment hash-to-field: the PLAIN digest
+    uint256(H(abi.encodePacked(C.x, C.y, committed...))) % r, matching
+    what the reference's exported Solidity verifier computes in-contract
+    (backend/groth16/bn254/solidity.go:716-724 — `hashFnName(...)  % R`;
+    the proof must be produced with the same override, verify.go:154-180
+    ExportSolidity's sha256/keccak256 requirement)."""
+    import hashlib
+
+    x, y = (0, 0) if point is None else (int(point[0]), int(point[1]))
+    data = x.to_bytes(32, "big") + y.to_bytes(32, "big") + b"".join(
+        (int(v) % modulus).to_bytes(32, "big") for v in committed_values
+    )
+    if hash_name == "sha256":
+        d = hashlib.sha256(data).digest()
+    elif hash_name == "keccak256":
+        from ..std.hash.mimc import keccak256
+
+        d = keccak256(data)
+    else:
+        raise ValueError(f"unsupported EVM hash {hash_name!r}")
+    return int.from_bytes(d, "big") % modulus
+
+
+def mimc_commitment_hash(outer_modulus: int, inner_r: int, inner_fp: int,
+                         point, committed_values) -> int:
+    """Recursion-friendly BSB22 commitment hash-to-field.
+
+    Role parity: the reference swaps the SHA-based hash for a MiMC "short
+    hash" over the OUTER circuit's native field when an inner proof is
+    destined for recursion (std/recursion/wrapped_hash.go NewShort(current,
+    target) installed via backend.WithProverHashToFieldFunction;
+    std/recursion/groth16/verifier.go:632-656 replays it in-circuit).
+
+    This repo's convention (field-element based, mirrored exactly by the
+    recursion verifiers — no gnark fixtures exist to pin the byte format):
+
+      MiMC over `outer_modulus` absorbing
+        tag("bsb22-mimc"),
+        C.x, C.y      — directly when inner Fp fits the outer field
+                        (the native 2-chain), else as little-endian
+                        64-bit limbs (the emulated point witness's limbs),
+        committed v_i — directly when inner r fits, else as 64-bit limbs;
+      digest truncated to its low min(|r|, |outer|) − 1 bits so the value
+      always fits the inner scalar field (≙ NewShort's byte-short cut).
+
+    `point` is an affine host tuple (None = infinity → absorbed as zeros).
+    """
+    from ..std.hash.mimc import MiMCHost
+
+    h = MiMCHost(outer_modulus)
+    h.write(int.from_bytes(MIMC_COMMITMENT_TAG, "big") % outer_modulus)
+
+    def absorb(value: int, modulus: int):
+        if modulus <= outer_modulus:
+            h.write(value)
+        else:
+            k = (modulus.bit_length() + 63) // 64
+            v = int(value)
+            h.write(*(((v >> (64 * i)) & ((1 << 64) - 1)) for i in range(k)))
+
+    x, y = (0, 0) if point is None else (int(point[0]), int(point[1]))
+    absorb(x, inner_fp)
+    absorb(y, inner_fp)
+    for v in committed_values:
+        absorb(int(v) % inner_r, inner_r)
+    out_bits = min(inner_r.bit_length(), outer_modulus.bit_length()) - 1
+    return h.h & ((1 << out_bits) - 1)
 
 
 def expand_message_xmd(msg: bytes, dst: bytes, len_in_bytes: int) -> bytes:

@@ -780,6 +780,10 @@ class SolidityContract:
             return (args[0] * args[1]) % args[2]
         if name == "sha256":
             return hashlib.sha256(args[0]).digest()
+        if name == "keccak256":
+            from .std.hash.mimc import keccak256 as _keccak
+
+            return _keccak(args[0])
         if name == "uint256":
             v = args[0]
             return int.from_bytes(v, "big") if isinstance(v, bytes) else int(v)

@@ -34,12 +34,15 @@ from ..pairing_bn254 import BN254Pairing
 
 @dataclass
 class VerifierProof:
-    """Gadget-side Groth16 proof (≙ recursion/groth16.Proof)."""
+    """Gadget-side Groth16 proof (≙ recursion/groth16.Proof incl. its
+    pedersen.Commitment / KnowledgeProof fields)."""
 
     ar: AffinePoint        # G1
     krs: AffinePoint       # G1
     bs: object             # G2: (x, y) E2 pair, or an AffinePoint when
                            # the inner curve's G2 lives over Fp (BW6-761)
+    commitments: tuple = ()             # BSB22 G1 commitments
+    commitment_pok: AffinePoint | None = None
 
 
 class Groth16Verifier:
@@ -53,12 +56,19 @@ class Groth16Verifier:
     def __init__(self, api, native_modulus: int, vk, curve=None,
                  curve_id: str = "bn254"):
         """vk: host backend.groth16 VerifyingKey over the inner curve;
-        curve: host curve object used once to precompute e(α, β)."""
-        if vk.commitment_keys:
+        curve: host curve object used once to precompute e(α, β).
+
+        BSB22-commitment proofs are supported for ONE commitment
+        (≙ verifier.go:660-668); the inner proof must use
+        ``commitment_hash=("mimc", native_modulus)`` so this verifier can
+        replay the commitment-wire hash natively."""
+        if len(vk.commitment_keys) > 1:
             raise NotImplementedError(
-                "recursion over BSB22-commitment proofs: later round"
+                "multiple commitments are not supported (parity: "
+                "std/recursion/groth16/verifier.go:666)"
             )
         self.api = api
+        self._native_modulus = native_modulus
         self.vk = vk
         self.curve_id = curve_id
         self._g2_fp2 = True  # G2 over Fp2 (12-degree curves)
@@ -94,6 +104,7 @@ class Groth16Verifier:
             self._g1_cofactor_one = False
         else:
             raise ValueError(f"unsupported recursion curve {curve_id!r}")
+        self._host = host
         self._e_alpha_beta = vk.e_alpha_beta(host)
         if self._g2_fp2:
             e2 = self.pairing.e2
@@ -102,9 +113,24 @@ class Groth16Verifier:
             self._delta = (e2.constant(vk.g2_delta[0].c0, vk.g2_delta[0].c1),
                            e2.constant(vk.g2_delta[1].c0, vk.g2_delta[1].c1))
             self._twist_b = e2.constant(self._g2_b.c0, self._g2_b.c1)
+
+            def g2c(pt):
+                return (e2.constant(pt[0].c0, pt[0].c1),
+                        e2.constant(pt[1].c0, pt[1].c1))
         else:
             self._gamma = self._g2_curve.constant_point(vk.g2_gamma)
             self._delta = self._g2_curve.constant_point(vk.g2_delta)
+
+            def g2c(pt):
+                ap = self._g2_curve.constant_point(pt)
+                return (ap.x, ap.y)  # pairing-call shape
+
+        from ..pedersen import CommitmentVk
+
+        self._cm_vks = [
+            CommitmentVk(g=g2c(k.g), g_sigma_neg=g2c(k.g_sigma_neg))
+            for k in vk.commitment_keys
+        ]
 
     # -- witness constructors ------------------------------------------------
     def proof_witness(self, proof) -> VerifierProof:
@@ -123,8 +149,12 @@ class Groth16Verifier:
             return (e2.constant(pt[0].c0, pt[0].c1),
                     e2.constant(pt[1].c0, pt[1].c1))
 
-        return VerifierProof(ar=g1(proof.ar), krs=g1(proof.krs),
-                             bs=g2(proof.bs))
+        return VerifierProof(
+            ar=g1(proof.ar), krs=g1(proof.krs), bs=g2(proof.bs),
+            commitments=tuple(g1(cm) for cm in proof.commitments),
+            commitment_pok=(g1(proof.commitment_pok)
+                            if proof.commitment_pok is not None else None),
+        )
 
     # -- checks --------------------------------------------------------------
     def _assert_g1_member(self, p: AffinePoint):
@@ -185,6 +215,84 @@ class Groth16Verifier:
             return self.curve.fr.constant(pub)
         return self.curve.fr.from_native(pub)  # same-curve native variable
 
+    # -- BSB22 commitment wire re-derivation ---------------------------------
+    def _gt_one(self):
+        """Host GT identity in the type assert_pairing_equal compares."""
+        if self.curve_id == "bw6-761":
+            from ...curves.bw6_761 import Fp6D
+
+            return Fp6D.one()
+        from ...curves.tower import Fp12
+
+        return Fp12.one(self._host.tower)
+
+    def _assert_bits_canonical(self, bits, modulus: int):
+        """Kill the +q alias of a full-width api.to_binary: constrain
+        Σ bitsᵢ·2^i ≤ q−1 (constant-bound MSB-scan comparator)."""
+        api = self.api
+        c = modulus - 1
+        eq = 1
+        for i in range(len(bits) - 1, -1, -1):
+            if (c >> i) & 1:
+                eq = api.mul(eq, bits[i])
+            else:
+                api.assert_is_equal(api.mul(eq, bits[i]), 0)
+
+    def _absorb_value(self, m, raw, field):
+        """Absorb a committed value/coordinate exactly as the host
+        mimc_commitment_hash does: directly when the source field fits the
+        outer-native one, else as canonical little-endian 64-bit limbs of
+        the emulated element."""
+        if field.p <= self._native_modulus and not isinstance(
+                raw, Element):
+            m.write(raw)
+            return
+        owner = (self.curve.fr if field.p == self._r
+                 else self.curve.fp)
+        assert owner.w == 64, "absorb convention requires w=64 limb presets"
+        if isinstance(raw, Element):
+            el = raw
+        elif isinstance(raw, int):
+            el = owner.constant(raw)
+        else:  # native var into the (larger) emulated field
+            el = owner.from_native(raw)
+        el = owner.reduce(el)
+        owner.assert_canonical(el)
+        for limb in el.limbs:
+            m.write(limb)
+
+    def _commitment_aux_values(self, cms, public_inputs):
+        """≙ verifier.go:643-656 solveCommitmentWire — replay
+        backend.hash_to_field.mimc_commitment_hash over the outer-native
+        field; returns the truncated digest per commitment as (Element
+        scalar, native value var)."""
+        from ...backend.hash_to_field import MIMC_COMMITMENT_TAG
+        from ..hash.mimc import MiMC
+
+        api = self.api
+        nq = self._native_modulus
+        out = []
+        out_bits = min(self._r.bit_length(), nq.bit_length()) - 1
+        xs_raw = [1] + list(public_inputs)
+        for i, committed_idx in enumerate(
+                self.vk.public_and_commitment_committed):
+            m = MiMC(api, nq)
+            m.write(int.from_bytes(MIMC_COMMITMENT_TAG, "big") % nq)
+            # commitment coordinates: emulated Fp elements -> limbs
+            self._absorb_value(m, cms[i].x, self.curve.fp)
+            self._absorb_value(m, cms[i].y, self.curve.fp)
+            for j in committed_idx:
+                self._absorb_value(m, xs_raw[j], self.curve.fr)
+            d = m.sum()
+            bits = api.to_binary(d, nq.bit_length())
+            self._assert_bits_canonical(bits, nq)
+            lo = bits[:out_bits]
+            val = api.from_binary(lo)
+            xs_raw.append(val)
+            scalar = self.curve.fr.from_native(val, n_bits=out_bits)
+            out.append((scalar, val))
+        return out, out_bits
+
     def assert_proof(self, proof: VerifierProof, public_inputs) -> None:
         """Constrain the proof valid for the given public inputs
         (≙ Verifier.AssertProof, verifier.go): on-curve/subgroup checks,
@@ -196,6 +304,12 @@ class Groth16Verifier:
                 f"expected {vk.nb_public - 1} public inputs, "
                 f"got {len(public_inputs)}"
             )
+        cms = list(proof.commitments or ())
+        if len(cms) != len(vk.commitment_keys):
+            raise ValueError(
+                f"expected {len(vk.commitment_keys)} commitments, "
+                f"got {len(cms)}"
+            )
         c = self.curve
         self._assert_g1_member(proof.ar)
         self._assert_g1_member(proof.krs)
@@ -203,6 +317,28 @@ class Groth16Verifier:
             self._assert_g2_member(proof.bs)
         else:
             self._assert_g2_member_fp(proof.bs)
+        for cm in cms:
+            self._assert_g1_member(cm)
+        if proof.commitment_pok is not None:
+            self._assert_g1_member(proof.commitment_pok)
+
+        def pt(p):
+            return (p.x, p.y)
+
+        def g2v(v):
+            return pt(v) if not self._g2_fp2 else v
+
+        aux = []
+        out_bits = self._r.bit_length()
+        if cms:
+            aux, out_bits = self._commitment_aux_values(cms, public_inputs)
+            from ..pedersen import assert_commitment, fold_commitments
+
+            folded = fold_commitments(cms)
+            assert_commitment(
+                self.pairing, self._gt_one(),
+                pt(folded), pt(proof.commitment_pok), self._cm_vks[0],
+            )
 
         k_sum = c.constant_point(vk.g1_k[0])
         n_bits = self._r.bit_length()
@@ -210,12 +346,12 @@ class Groth16Verifier:
             s = self._bind_public(pub)
             term = c.scalar_mul(c.constant_point(k_pt), s, n_bits)
             k_sum = c.add_unified(k_sum, term)
-
-        def pt(p):
-            return (p.x, p.y)
-
-        def g2v(v):
-            return pt(v) if not self._g2_fp2 else v
+        for i, (scalar, _) in enumerate(aux):
+            k_pt = vk.g1_k[vk.nb_public + i]
+            term = c.scalar_mul(c.constant_point(k_pt), scalar, out_bits)
+            k_sum = c.add_unified(k_sum, term)
+        for cm in cms:  # ≙ verifier.go:676-678 kSum += proof.Commitments
+            k_sum = c.add_unified(k_sum, cm)
 
         self.pairing.assert_pairing_equal(
             [

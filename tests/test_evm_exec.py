@@ -255,3 +255,96 @@ def test_plonk_bsb22_contract_executes(plonk_bsb22_artifacts):
     with pytest.raises(Revert) as exc:
         contract.call("verifyProof", bad, [35])
     assert exc.value.error == "ProofInvalid"
+
+
+# ---------------------------------------------------------------------------
+# Groth16 BSB22-commitment contract execution (≙ the reference template's
+# commitment branch, backend/groth16/bn254/solidity.go:680-760)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def g16_commit_artifacts():
+    from gnark_icicle_tpu.frontend import Circuit, Public, Secret
+
+    class CommitCubic(Circuit):
+        x = Secret()
+        y = Public()
+
+        def define(self, api):
+            c = api.commit(self.x, self.y)
+            api.assert_is_different(c, 0)
+            x3 = api.mul(self.x, self.x, self.x)
+            api.assert_is_equal(self.y, api.add(x3, self.x, 5))
+
+    cs = compile_circuit(Q, CommitCubic)
+    pk, vk = groth16.setup(cs, CURVE, rng=random.Random(70), engine="host")
+    proof = groth16.prove(cs, pk, [35], [3], CURVE, rng=random.Random(71),
+                          engine="host", commitment_hash=("evm", "sha256"))
+    groth16.verify(proof, vk, [35], CURVE,
+                   commitment_hash=("evm", "sha256"))
+    return vk, proof
+
+
+def _g16_commit_args(proof):
+    cm = [proof.commitments[0][0], proof.commitments[0][1]]
+    pok = [proof.commitment_pok[0], proof.commitment_pok[1]]
+    return _g16_words(proof), cm, pok
+
+
+def test_groth16_commitment_contract_accepts(g16_commit_artifacts):
+    vk, proof = g16_commit_artifacts
+    contract = load_contract(export_solidity(vk, CURVE))
+    words, cm, pok = _g16_commit_args(proof)
+    contract.call("verifyProof", words, cm, pok, [35])  # no revert
+
+
+def test_groth16_commitment_contract_rejects(g16_commit_artifacts):
+    vk, proof = g16_commit_artifacts
+    contract = load_contract(export_solidity(vk, CURVE))
+    words, cm, pok = _g16_commit_args(proof)
+
+    # wrong public input -> ProofInvalid
+    with pytest.raises(Revert) as exc:
+        contract.call("verifyProof", words, cm, pok, [36])
+    assert exc.value.error == "ProofInvalid"
+
+    # tampered PoK (valid curve point) -> CommitmentInvalid
+    bad_pok = list(bn254.G1.scalar_mul((pok[0], pok[1]), 2))
+    with pytest.raises(Revert) as exc:
+        contract.call("verifyProof", words, cm, bad_pok, [36])
+    assert exc.value.error == "CommitmentInvalid"
+
+    # tampered commitment (valid curve point) -> its PoK no longer matches
+    bad_cm = list(bn254.G1.scalar_mul((cm[0], cm[1]), 2))
+    with pytest.raises(Revert) as exc:
+        contract.call("verifyProof", words, bad_cm, pok, [35])
+    assert exc.value.error == "CommitmentInvalid"
+
+
+def test_groth16_commitment_contract_requires_evm_hash(g16_commit_artifacts):
+    """A proof produced with the DEFAULT RFC-9380 hash derives a different
+    commitment wire than the contract recomputes -> ProofInvalid (the
+    reference has the same prover-hash requirement, verify.go:154-180)."""
+    vk, _ = g16_commit_artifacts
+    from gnark_icicle_tpu.frontend import Circuit, Public, Secret
+
+    class CommitCubic(Circuit):
+        x = Secret()
+        y = Public()
+
+        def define(self, api):
+            c = api.commit(self.x, self.y)
+            api.assert_is_different(c, 0)
+            x3 = api.mul(self.x, self.x, self.x)
+            api.assert_is_equal(self.y, api.add(x3, self.x, 5))
+
+    cs = compile_circuit(Q, CommitCubic)
+    pk2, vk2 = groth16.setup(cs, CURVE, rng=random.Random(70), engine="host")
+    proof = groth16.prove(cs, pk2, [35], [3], CURVE, rng=random.Random(72),
+                          engine="host")  # default sha256/RFC9380 hash
+    groth16.verify(proof, vk2, [35], CURVE)
+    contract = load_contract(export_solidity(vk2, CURVE))
+    words, cm, pok = _g16_commit_args(proof)
+    with pytest.raises(Revert) as exc:
+        contract.call("verifyProof", words, cm, pok, [35])
+    assert exc.value.error == "ProofInvalid"

@@ -158,6 +158,16 @@ def bench_msm(log_n: int, iters: int):
     res = kern.msm((px_d, py_d), inf_d, jnp.asarray(scal), c)
     jax.block_until_ready(res)
 
+    # optional kernel-level trace (TensorBoard/Perfetto) of one dispatch
+    # (SURVEY §5 tracing: the jax-profiler hook around the bench path)
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        from gnark_icicle_tpu import profile as _prof
+
+        with _prof.device_trace(trace_dir):
+            jax.block_until_ready(
+                kern.msm((px_d, py_d), inf_d, jnp.asarray(scal), c))
+
     # fresh scalar buffer per iteration (dedupe-proof timing); keep the last
     # for the verification below
     times = []
@@ -434,6 +444,12 @@ def bench_groth16(log_n: int, iters: int):
     rng = random.Random(2)
     proof = groth16.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)  # warmup
     groth16.verify(proof, vk, pub, bn254.BN254)
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        from gnark_icicle_tpu import profile as _prof
+
+        with _prof.device_trace(trace_dir):
+            groth16.prove(cs, pk, pub, sec, bn254.BN254, rng=rng)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()

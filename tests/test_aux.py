@@ -67,3 +67,83 @@ def test_examples_importable():
     assert cs.nb_constraints == 3
     cs2 = compile_circuit(Q, examples.exponentiate.ExponentiateCircuit)
     assert cs2.nb_constraints > 8
+
+
+def test_profiler_pprof_binary_format(tmp_path):
+    """dump_pprof emits a REAL pprof profile (gzipped profile.proto) —
+    validated here with an independent minimal wire-format decoder:
+    string table, sample/location/function cross-references and the total
+    count must reconstruct (≙ the reference writing google/pprof profiles,
+    profile/profile.go:71-105)."""
+    import gzip
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.frontend import compile_circuit
+    from circuits import Cubic
+
+    p = profile.start()
+    compile_circuit(bn254.R, Cubic)
+    p.stop()
+    path = tmp_path / "cubic.pb.gz"
+    p.dump_pprof(str(path))
+
+    raw = gzip.open(path, "rb").read()
+
+    def rd_varint(buf, i):
+        v = s = 0
+        while True:
+            b = buf[i]
+            i += 1
+            v |= (b & 0x7F) << s
+            s += 7
+            if not b & 0x80:
+                return v, i
+
+    def parse(buf):
+        fields = {}
+        i = 0
+        while i < len(buf):
+            key, i = rd_varint(buf, i)
+            fno, wire = key >> 3, key & 7
+            if wire == 0:
+                v, i = rd_varint(buf, i)
+            elif wire == 2:
+                ln, i = rd_varint(buf, i)
+                v = buf[i:i + ln]
+                i += ln
+            else:
+                raise AssertionError(f"unexpected wire type {wire}")
+            fields.setdefault(fno, []).append(v)
+        return fields
+
+    top = parse(raw)
+    strings = [b.decode() for b in top[6]]
+    assert strings[0] == ""
+    assert "constraints" in strings and "count" in strings
+
+    samples = [parse(b) for b in top[2]]
+    locs = {parse(b)[1][0]: parse(b) for b in top[4]}
+    funcs = {parse(b)[1][0]: parse(b) for b in top[5]}
+    total = sum(s[2][0] for s in samples)
+    assert total == p.total > 0
+    for s in samples:
+        for lid in s[1]:
+            loc = locs[lid]
+            line = parse(loc[4][0])
+            fn = funcs[line[1][0]]
+            assert strings[fn[2][0]]          # function name resolves
+            assert strings[fn[4][0]].endswith(".py")
+
+
+def test_profiler_flat_dump(tmp_path):
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.frontend import compile_circuit
+    from circuits import Cubic
+
+    p = profile.start()
+    compile_circuit(bn254.R, Cubic)
+    p.stop()
+    path = tmp_path / "flat.txt"
+    p.dump_pprof_like(str(path))
+    text = path.read_text()
+    assert text.startswith("total constraints:")

@@ -147,3 +147,37 @@ def test_profiler_flat_dump(tmp_path):
     p.dump_pprof_like(str(path))
     text = path.read_text()
     assert text.startswith("total constraints:")
+
+
+def test_prover_service_marginal_faster_api():
+    """Groth16Prover/PlonkProver: N proofs from one resident object, all
+    verifying — the persistent-service API (host engine; the device
+    amortization numbers live in BASELINE.md via tools/run_2chain_device
+    --iters)."""
+    import random
+
+    from gnark_icicle_tpu.curves import bn254
+    from gnark_icicle_tpu.frontend import compile_circuit
+    from gnark_icicle_tpu.backend import groth16, plonk
+    from gnark_icicle_tpu.backend.prover_service import (
+        Groth16Prover, PlonkProver,
+    )
+    from circuits import Cubic
+
+    cs = compile_circuit(bn254.R, Cubic)
+    pk, vk = groth16.setup(cs, bn254.BN254, rng=random.Random(1),
+                           engine="host")
+    svc = Groth16Prover(cs, pk, bn254.BN254, engine="host")
+    first = svc.warmup([35], [3], rng=random.Random(2))
+    assert first > 0
+    for i in range(2):
+        proof = svc.prove([35], [3], rng=random.Random(3 + i))
+        groth16.verify(proof, vk, [35], bn254.BN254)
+
+    scs = compile_circuit(bn254.R, Cubic, builder="scs")
+    ppk, pvk = plonk.setup(scs, bn254.BN254, rng=random.Random(4),
+                           engine="host")
+    psvc = PlonkProver(scs, ppk, bn254.BN254, engine="host")
+    psvc.warmup([35], [3], rng=random.Random(5))
+    proof = psvc.prove([35], [3], rng=random.Random(6))
+    plonk.verify(proof, pvk, [35], bn254.BN254)

@@ -49,7 +49,25 @@ def _compute_h(ctx: DeviceCtx, a, b, c, log_n: int):
             v = v + [0] * (n - len(v))
         return ctx.fr_mont(v)
 
+    import os
+    import time as _time
+
+    timing = os.environ.get("GNARK_TPU_H_TIMING") == "1"
+
+    def _mark(label, val, t0):
+        if timing:
+            import jax
+
+            jax.block_until_ready(val)
+            from ...logger import logger
+
+            logger().info("computeH[%s] %.3fs", label,
+                          _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
     ea, eb, ec = pad_mont(a), pad_mont(b), pad_mont(c)
+    t0 = _mark("pad_mont(a,b,c)", (ea, eb, ec), t0)
 
     g = ctx.curve.fr.multiplicative_generator
     den = pow((pow(g, n, q) - 1) % q, -1, q)
@@ -58,12 +76,18 @@ def _compute_h(ctx: DeviceCtx, a, b, c, log_n: int):
     def to_coset(e):
         return dom.coset_ntt_rev_in(dom.intt_nat_to_rev(e))
 
-    ca, cb, cc = to_coset(ea), to_coset(eb), to_coset(ec)
+    ca = to_coset(ea)
+    t0 = _mark("to_coset(a)", ca, t0)
+    cb, cc = to_coset(eb), to_coset(ec)
+    t0 = _mark("to_coset(b,c)", (cb, cc), t0)
     h_evals = F.mont_mul(
         F.sub(F.mont_mul(ca, cb), cc), jnp.broadcast_to(den_m, ca.shape)
     )
+    t0 = _mark("pointwise", h_evals, t0)
     h_rev = dom.coset_intt_nat_to_rev(h_evals)  # Montgomery, bit-reversed
-    return F.from_mont(h_rev)  # plain limbs = MSM scalar format
+    out = F.from_mont(h_rev)  # plain limbs = MSM scalar format
+    _mark("coset_intt+from_mont", out, t0)
+    return out
 
 
 def _compute_h_sharded(ctx: DeviceCtx, a, b, c, log_n: int, mesh,

@@ -32,6 +32,20 @@ def _emit(metric, value, unit):
     }))
 
 
+def _scal_dot_ks(scal, ks, q: int) -> int:
+    """Σᵢ scalarᵢ·kᵢ mod q via exact int64 numpy partial sums (the object-
+    array version was minutes of Python at 2^24): 16-bit limb × 16-bit
+    k-halves products ≤ 2^32, summed over ≤ 2^25 rows < 2^63."""
+    klo = (ks & 0xFFFF).astype(np.int64)
+    khi = ((ks >> 16) & 0xFFFF).astype(np.int64)
+    total = 0
+    for j in range(scal.shape[1]):
+        col = scal[:, j].astype(np.int64)
+        s = int((col * klo).sum()) + (int((col * khi).sum()) << 16)
+        total += s << (16 * j)
+    return total % q
+
+
 def _random_points_on_device(ctx, n, rng):
     """P_i = k_i·G, k_i uniform 32-bit (device ladder, chunked so 2^24
     fits HBM). Returns device (px, py), inf mask and the host k array."""
@@ -186,12 +200,8 @@ def bench_msm(log_n: int, iters: int):
 
     # O(N) host verification: result must equal (Σ s_i·k_i mod r)·G
     q = bn254.R
-    pw = [pow(2, 16 * j, q) for j in range(scal.shape[1])]
-    total = 0
-    cols = scal.astype(object)
-    for j in range(scal.shape[1]):
-        total += int((cols[:, j] * ks.astype(object)).sum()) * pw[j]
-    want = bn254.G1.scalar_mul(bn254.G1.generator, total % q)
+    total = _scal_dot_ks(scal, ks, q)
+    want = bn254.G1.scalar_mul(bn254.G1.generator, total)
     assert got_host == want, "bench MSM result failed verification"
 
     _emit(f"msm_g1_bn254_2^{log_n}", n / best, "points/s")
@@ -216,6 +226,9 @@ def bench_msm_g2(log_n: int, iters: int):
     ks = nprng.integers(1, 1 << 32, size=n, dtype=np.int64)
     fb = FixedBaseMul(ctx.msm_g2.curve, bn254.G2, bn254.G2.generator, 32)
     chunk = min(n, 1 << 18)
+    # stage generated chunks through HOST memory: keeping all device
+    # chunks alive + the concatenate doubled HBM and OOMed at 2^24
+    # (G2 affine = 4 coordinate planes; r5a ResourceExhausted)
     parts = []
     for lo in range(0, n, chunk):
         kl = np.zeros((min(chunk, n - lo), 2), dtype=np.int32)
@@ -224,11 +237,14 @@ def bench_msm_g2(log_n: int, iters: int):
         kl[:, 1] = (kk >> 16) & 0xFFFF
         pts, inf = batch_normalize(ctx.msm_g2.curve, fb.mul(jnp.asarray(kl)))
         assert not bool(jnp.any(inf))
-        parts.append(pts)
+        parts.append(jax.tree.map(np.asarray, pts))
+        del pts
     if len(parts) > 1:
-        pts = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+        pts = jax.tree.map(
+            lambda *xs: jnp.asarray(np.concatenate(xs)), *parts)
     else:
-        pts = parts[0]
+        pts = jax.tree.map(jnp.asarray, parts[0])
+    del parts
     jax.block_until_ready(pts)
     inf_d = jnp.zeros(n, dtype=bool)
 
@@ -249,12 +265,8 @@ def bench_msm_g2(log_n: int, iters: int):
     best = min(times)
 
     q = bn254.R
-    pw = [pow(2, 16 * j, q) for j in range(scal.shape[1])]
-    total = 0
-    cols = scal.astype(object)
-    for j in range(scal.shape[1]):
-        total += int((cols[:, j] * ks.astype(object)).sum()) * pw[j]
-    want = bn254.G2.scalar_mul(bn254.G2.generator, total % q)
+    total = _scal_dot_ks(scal, ks, q)
+    want = bn254.G2.scalar_mul(bn254.G2.generator, total)
     assert got_host == want, "bench G2 MSM result failed verification"
     _emit(f"msm_g2_bn254_2^{log_n}", n / best, "points/s")
 

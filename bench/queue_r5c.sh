@@ -17,3 +17,10 @@ timeout 10800 python tools/run_2chain_device.py --iters 2 \
   || echo "{\"metric\": \"2chain_marginal\", \"error\": $?}" >> "$OUT"
 
 echo "# r5c queue end $(date -u +%FT%TZ)" >> "$OUT"
+
+# G2 2^24 retry (host-staged generation fixes the r5a HBM OOM)
+env BENCH_METRIC=msm_g2 BENCH_LOG_N=24 BENCH_ITERS=2 timeout 7200 \
+  python bench.py > bench/.r5c_g2_24.out 2> bench/.r5c_g2_24.err \
+  && cat bench/.r5c_g2_24.out >> "$OUT" \
+  || echo "{\"metric\": \"msm_g2_2^24_retry\", \"error\": $?}" >> "$OUT"
+echo "# r5c queue really end $(date -u +%FT%TZ)" >> "$OUT"

@@ -62,6 +62,66 @@ def _mul_kernel(ops: TFieldOps, x_ref, y_ref, o_ref):
     o_ref[...] = ops.from_rows(ops.mul_rows(xr, yr))
 
 
+def _fused_add_mixed_kernel(ops: TFieldOps, b3_limbs, use_mxu,
+                            x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
+                            msk_ref, *rest):
+    """ONE Pallas kernel for the complete RCB16 mixed add with mask+sign
+    folded in: the ~11 montmuls, all add/sub glue, the sign-negation of
+    y2 and the final valid-select happen in VMEM — no HBM round-trips
+    between the muls and no per-mul kernel-launch overhead.
+
+    Mosaic compile-size note: ~11 unrolled montmuls ≈ 10k vector ops —
+    below the 17-mul fusion that stalled the compiler >30 min (module
+    docstring), but still a minutes-scale one-time compile per shape.
+    msk_ref: (2, bn) int32 — row 0 = valid, row 1 = sign."""
+    if use_mxu:
+        npt_ref, pt_ref, x3_ref, y3_ref, z3_ref = rest
+        npt, pt = npt_ref[...], pt_ref[...]
+
+        def mul(a_rows, b_rows):
+            return ops.mul_rows_mxu(a_rows, b_rows, npt, pt)
+    else:
+        x3_ref, y3_ref, z3_ref = rest
+        mul = ops.mul_rows
+
+    add, sub = ops.add_rows, ops.sub_rows
+    X1 = ops.to_rows(x1_ref[...])
+    Y1 = ops.to_rows(y1_ref[...])
+    Z1 = ops.to_rows(z1_ref[...])
+    X2 = ops.to_rows(x2_ref[...])
+    Y2 = ops.to_rows(y2_ref[...])
+    msk = msk_ref[...].astype(U32)
+    valid = msk[0]
+    sign = msk[1]
+
+    # y2 := sign ? −y2 : y2
+    zero = [jnp.zeros_like(r) for r in Y2]
+    negy = sub(zero, Y2)
+    sm = sign != 0
+    Y2 = [jnp.where(sm, n_, y_) for n_, y_ in zip(negy, Y2)]
+
+    b3 = [jnp.full_like(X1[0], l) for l in b3_limbs]
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = add(mul(Y2, Z1), Y1)
+    Y3 = add(mul(X2, Z1), X1)
+    t0 = add(add(t0, t0), t0)
+    t2 = mul(b3, Z1)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mul(b3, Y3)
+    X3 = sub(mul(t3, t1), mul(t4, Y3))
+    Y3 = add(mul(Y3, t0), mul(t1, Z3))
+    Z3 = add(mul(Z3, t4), mul(t0, t3))
+
+    vm = valid != 0
+    x3_ref[...] = jnp.where(vm, ops.from_rows(X3), x1_ref[...])
+    y3_ref[...] = jnp.where(vm, ops.from_rows(Y3), y1_ref[...])
+    z3_ref[...] = jnp.where(vm, ops.from_rows(Z3), z1_ref[...])
+
+
 def _mul_mxu_kernel(ops: TFieldOps, x_ref, y_ref, npt_ref, pt_ref, o_ref):
     xr = ops.to_rows(x_ref[...])
     yr = ops.to_rows(y_ref[...])
@@ -389,6 +449,53 @@ class TCurve:
             Y2 = jnp.where((sign != 0)[None, :], self._neg(Y2), Y2)
         new = self._add_mixed_impl(P, (X2, Y2), use_pallas)
         return self.select(mask, new, P)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def add_mixed_masked_fused(self, P, Q_affine, mask, sign=None):
+        """add_mixed_masked as ONE fused Pallas kernel per lane block —
+        the whole RCB16 schedule + mask/sign logic stays in VMEM (no HBM
+        round-trips between the 11 montmuls, 1 kernel launch instead of
+        ~11 + XLA glue passes). Bit-identical to add_mixed_masked
+        (asserted in tests). Opt-in via GNARK_TPU_FUSED_ADD=1 in the MSM
+        wave loop; on CPU the kernel runs in Pallas interpret mode (slow —
+        bit-exactness tests only)."""
+        interpret = jax.default_backend() == "cpu"
+        K = self.K
+        n = P[0].shape[1]
+        # one mul's REDC internals (~512 rows) + the EC temps must fit
+        # VMEM: half the per-mul kernel's lane block
+        bn = max(256, (1024 * 16 // K) // 256 * 256)
+        rem = (-n) % bn
+        sgn = (jnp.zeros_like(mask, dtype=jnp.int32) if sign is None
+               else sign.astype(jnp.int32))
+        msk = jnp.stack([mask.astype(jnp.int32), sgn])  # (2, n)
+        ins = [P[0], P[1], P[2], Q_affine[0], Q_affine[1]]
+        if rem:
+            ins = [jnp.pad(a, ((0, 0), (0, rem))) for a in ins]
+            msk = jnp.pad(msk, ((0, 0), (0, rem)))
+        specs = [pl.BlockSpec((K, bn), lambda i: (0, i))] * 5
+        specs.append(pl.BlockSpec((2, bn), lambda i: (0, i)))
+        args = ins + [msk]
+        b3_limbs = tuple(
+            (self.b3_mont >> (16 * i)) & 0xFFFF for i in range(K)
+        )
+        if self.use_mxu:
+            for tbl in self._tables:
+                specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0)))
+                args.append(tbl)
+        kern = partial(_fused_add_mixed_kernel, self.t, b3_limbs,
+                       self.use_mxu)
+        out = pl.pallas_call(
+            kern,
+            grid=((n + rem) // bn,),
+            in_specs=specs,
+            out_specs=[pl.BlockSpec((K, bn), lambda i: (0, i))] * 3,
+            out_shape=[jax.ShapeDtypeStruct((K, n + rem), jnp.int32)] * 3,
+            interpret=interpret,
+        )(*args)
+        if rem:
+            out = [o[:, :n] for o in out]
+        return (out[0], out[1], out[2])
 
     @partial(jax.jit, static_argnums=(0, 3))
     def add(self, P, Q, use_pallas: bool = True):

@@ -112,3 +112,27 @@ def test_tcurve_mask_and_sign(ec_inputs):
     ref = curve.add_mixed((px, py, one), (qx, qy_neg))
     for cr, cg in zip(ref, neg):
         assert np.array_equal(np.asarray(cr), np.asarray(cg).T)
+
+
+def test_fused_add_mixed_masked_bit_exact(ec_inputs):
+    """The ONE-kernel fused RCB16 mixed add (interpret mode on CPU) must
+    be bit-identical to the composed add_mixed_masked across mask/sign
+    combinations."""
+    px, py, qx, qy, one = ec_inputs
+    tc = TCurve(F, 9)
+    P_t = (_t(px), _t(py), _t(one))
+    Q_t = (_t(qx), _t(qy))
+    rng = np.random.default_rng(9)
+    mask = jnp.asarray(rng.integers(0, 2, size=M).astype(bool))
+    sign = jnp.asarray(rng.integers(0, 2, size=M).astype(np.int32))
+
+    ref = tc.add_mixed_masked(P_t, Q_t, mask, sign, use_pallas=False)
+    got = tc.add_mixed_masked_fused(P_t, Q_t, mask, sign)
+    for cr, cg in zip(ref, got):
+        assert np.array_equal(np.asarray(cr), np.asarray(cg))
+
+    # no-sign variant
+    ref = tc.add_mixed_masked(P_t, Q_t, mask, use_pallas=False)
+    got = tc.add_mixed_masked_fused(P_t, Q_t, mask)
+    for cr, cg in zip(ref, got):
+        assert np.array_equal(np.asarray(cr), np.asarray(cg))

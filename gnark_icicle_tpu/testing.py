@@ -24,10 +24,13 @@ class CheckFailure(AssertionError):
 
 def check_circuit(circuit_cls, valid=(), invalid=(), curve=None,
                   backends=("groth16", "plonk"), prover_checks=False,
-                  serialization_checks=False, rng=None):
+                  serialization_checks=False, rng=None,
+                  engine: str = "host"):
     """Run the assertion pyramid over assignments (dicts of input values).
 
     curve: a curves.* curve object (bn254.BN254 by default).
+    engine: prover engine for the prover_checks tier — "host" (default:
+    zero device warmup, right for CI) or "device" (the e2e suites).
     """
     if curve is None:
         from .curves import bn254
@@ -71,29 +74,49 @@ def check_circuit(circuit_cls, valid=(), invalid=(), curve=None,
                 f"{backend} solver accepts invalid witness {w}"
             )
 
-        # tier 3: full prove/verify (≙ -tags=prover_checks)
+        # tier 3: full prove/verify over EVERY valid assignment, plus a
+        # tampered-public rejection per proof (≙ assert_checkcircuit.go:
+        # 103-173 — the reference proves each valid witness and asserts
+        # the invalid ones do not verify)
         if prover_checks and valid:
-            w = valid[0]
-            pub, sec = circuit_cls(**w).witness_values(q)
             if backend == "groth16":
                 from .backend import groth16 as b
-
-                pk, vk = b.setup(cs, curve, rng=rng)
-                proof = b.prove(cs, pk, pub, sec, curve, rng=rng)
-                b.verify(proof, vk, pub, curve)
-                if serialization_checks:
-                    from .io import proof_to_bytes, proof_from_bytes, \
-                        vk_to_bytes, vk_from_bytes
-
-                    p2, _ = proof_from_bytes(curve, proof_to_bytes(curve, proof))
-                    vk2, _ = vk_from_bytes(curve, vk_to_bytes(curve, vk))
-                    b.verify(p2, vk2, pub, curve)
             else:
                 from .backend import plonk as b
-
-                pk, vk = b.setup(cs, curve, rng=rng)
-                proof = b.prove(cs, pk, pub, sec, curve, rng=rng)
+            pk, vk = b.setup(cs, curve, rng=rng, engine=engine)
+            for w in valid:
+                pub, sec = circuit_cls(**w).witness_values(q)
+                proof = b.prove(cs, pk, pub, sec, curve, rng=rng,
+                                engine=engine)
                 b.verify(proof, vk, pub, curve)
+                if pub:  # tampered public input must not verify
+                    bad = list(pub)
+                    bad[0] = (int(bad[0]) + 1) % q
+                    if b.is_valid(proof, vk, bad, curve):
+                        raise CheckFailure(
+                            f"{backend} verifier accepts tampered "
+                            f"public input for witness {w}"
+                        )
+                if serialization_checks:
+                    if backend == "groth16":
+                        from .io import proof_to_bytes, proof_from_bytes, \
+                            vk_to_bytes, vk_from_bytes
+
+                        p2, _ = proof_from_bytes(
+                            curve, proof_to_bytes(curve, proof))
+                        vk2, _ = vk_from_bytes(
+                            curve, vk_to_bytes(curve, vk))
+                    else:
+                        from .io.plonk_serialize import (
+                            plonk_proof_from_bytes, plonk_proof_to_bytes,
+                            plonk_vk_from_bytes, plonk_vk_to_bytes,
+                        )
+
+                        p2, _ = plonk_proof_from_bytes(
+                            curve, plonk_proof_to_bytes(curve, proof))
+                        vk2, _ = plonk_vk_from_bytes(
+                            curve, plonk_vk_to_bytes(curve, vk))
+                    b.verify(p2, vk2, pub, curve)
 
 
 def fuzz_circuit(circuit_cls, input_names, curve=None, iterations=16,

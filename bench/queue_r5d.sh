@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-5 queue #4: fused-add device bit-exactness + staged MSM A/B.
+set -u
+cd "$(dirname "$0")/.."
+OUT=bench/SWEEP.jsonl
+echo "# r5d queue start $(date -u +%FT%TZ)" >> "$OUT"
+
+timeout 5400 python bench/check_fused_add.py \
+  > bench/.r5d_fused_check.out 2> bench/.r5d_fused_check.err \
+  && cat bench/.r5d_fused_check.out >> "$OUT" \
+  || { echo "{\"check\": \"fused_add\", \"error\": $?}" >> "$OUT"; \
+       echo "# r5d aborted (fused check failed)" >> "$OUT"; exit 1; }
+
+for LN in 20 22; do
+  env GNARK_TPU_FUSED_ADD=1 BENCH_METRIC=msm BENCH_LOG_N=$LN timeout 7200 \
+    python bench.py > "bench/.r5d_fused_msm_${LN}.out" 2> "bench/.r5d_fused_msm_${LN}.err" \
+    && sed "s/msm_g1/fusedadd_msm_g1/" "bench/.r5d_fused_msm_${LN}.out" >> "$OUT" \
+    || echo "{\"metric\": \"fused_msm_2^${LN}\", \"error\": $?}" >> "$OUT"
+done
+echo "# r5d queue end $(date -u +%FT%TZ)" >> "$OUT"

@@ -18,3 +18,10 @@ for LN in 20 22; do
     || echo "{\"metric\": \"fused_msm_2^${LN}\", \"error\": $?}" >> "$OUT"
 done
 echo "# r5d queue end $(date -u +%FT%TZ)" >> "$OUT"
+
+# PLONK 2^20 retry (chunked 4n quotient fixes the r5a HBM OOM)
+env BENCH_METRIC=plonk BENCH_LOG_N=20 BENCH_ITERS=2 timeout 10800 \
+  python bench.py > bench/.r5d_plonk_20.out 2> bench/.r5d_plonk_20.err \
+  && cat bench/.r5d_plonk_20.out >> "$OUT" \
+  || echo "{\"metric\": \"plonk_2^20_retry\", \"error\": $?}" >> "$OUT"
+echo "# r5d queue really end $(date -u +%FT%TZ)" >> "$OUT"

@@ -119,50 +119,93 @@ def _quotient_tables(ctx, dom4, n: int, g: int, eta: int, q: int):
 def _quotient_device(ctx, dom4, ev, n, beta, gamma, alpha, k1, k2, g, eta, q):
     """Pointwise quotient on the 4n coset, fully on device
     (≙ computeNumerator's hot loop, prove.go:771-1034 — there CPU-parallel,
-    here one fused elementwise pass over Montgomery limb arrays)."""
+    here a fused elementwise pass over Montgomery limb arrays). The pass is
+    CHUNKED over rows: one jit over all 4n rows at a 2^20 domain held ~13
+    input evals plus the (N, 2K+1)-u32 schoolbook temps of ~20 chained
+    mont_muls and exhausted HBM (r5a plonk-2^20 ResourceExhausted); the
+    computation is pointwise, so row chunks are exact."""
     import jax.numpy as jnp
 
     F = ctx.fr_dev
     xs, l1, zh_inv = _quotient_tables(ctx, dom4, n, g, eta, q)
+    n_qcp = 0
+    while f"qcp{n_qcp}" in ev:
+        n_qcp += 1
 
-    def const(v):
-        return jnp.broadcast_to(
-            jnp.asarray(F.encode([v % q])[0]), (4 * n, F.K)
-        ).astype(jnp.int32)
+    chunk_fn = _quotient_chunk_fn(F, n_qcp)
+    # challenge constants as RUNTIME (1, K) rows — closure constants would
+    # embed β/γ/α in the jit and recompile every proof
+    consts = jnp.asarray(F.encode([
+        beta % q, gamma % q, alpha % q,
+        beta * k1 % q, beta * k2 % q, alpha * alpha % q,
+    ])).astype(jnp.int32)
 
-    beta_m, gamma_m, alpha_m = const(beta), const(gamma), const(alpha)
-    bk1, bk2 = const(beta * k1 % q), const(beta * k2 % q)
-    alpha2_m = const(alpha * alpha % q)
-    A, B, C = ev["a"], ev["b"], ev["c"]
-
-    gate = F.mont_mul(ev["ql"], A)
-    gate = F.add(gate, F.mont_mul(ev["qr"], B))
-    gate = F.add(gate, F.mont_mul(F.mont_mul(ev["qm"], A), B))
-    gate = F.add(gate, F.mont_mul(ev["qo"], C))
-    gate = F.add(gate, ev["qk"])
-    i = 0  # BSB22 terms: Σ qcp_i · PI2_i (≙ computeNumerator's qcp loop)
-    while f"qcp{i}" in ev:
-        gate = F.add(gate, F.mont_mul(ev[f"qcp{i}"], ev[f"pi2_{i}"]))
-        i += 1
-
-    lhs = F.add(F.add(A, F.mont_mul(beta_m, xs)), gamma_m)
-    lhs = F.mont_mul(lhs, F.add(F.add(B, F.mont_mul(bk1, xs)), gamma_m))
-    lhs = F.mont_mul(lhs, F.add(F.add(C, F.mont_mul(bk2, xs)), gamma_m))
-    lhs = F.mont_mul(lhs, ev["z"])
-    rhs = F.add(F.add(A, F.mont_mul(beta_m, ev["s1"])), gamma_m)
-    rhs = F.mont_mul(rhs, F.add(F.add(B, F.mont_mul(beta_m, ev["s2"])), gamma_m))
-    rhs = F.mont_mul(rhs, F.add(F.add(C, F.mont_mul(beta_m, ev["s3"])), gamma_m))
-    rhs = F.mont_mul(rhs, ev["zw"])
-    # gnark's sign: s-side·Z(ωX) − id-side·Z (verify.go's constLin/coeffZ)
-    perm = F.sub(rhs, lhs)
-
-    one = F.ones_mont((4 * n,)).astype(jnp.int32)
-    start = F.mont_mul(l1, F.sub(ev["z"], one))
-
-    num = F.add(gate, F.add(F.mont_mul(alpha_m, perm),
-                            F.mont_mul(alpha2_m, start)))
-    t_evals = F.mont_mul(num, zh_inv)
+    total = 4 * n
+    chunk = min(total, 1 << 19)
+    parts = []
+    names = ("a", "b", "c", "z", "zw", "qk", "ql", "qr", "qm", "qo",
+             "s1", "s2", "s3")
+    for lo in range(0, total, chunk):
+        hi = lo + chunk
+        args = [ev[k][lo:hi] for k in names]
+        args += [xs[lo:hi], l1[lo:hi], zh_inv[lo:hi]]
+        for i in range(n_qcp):
+            args += [ev[f"qcp{i}"][lo:hi], ev[f"pi2_{i}"][lo:hi]]
+        parts.append(chunk_fn(consts, *args))
+    t_evals = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     return dom4.coset_intt_nat(t_evals)
+
+
+_QCHUNK_CACHE: dict = {}
+
+
+def _quotient_chunk_fn(F, n_qcp: int):
+    """One jitted quotient chunk per (field, #commitments) — cached so
+    repeated proofs reuse the compiled executable."""
+    key = (id(F), n_qcp)
+    if key in _QCHUNK_CACHE:
+        return _QCHUNK_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chunk_fn(consts, A, B, C, z, zw, qk, ql, qr, qm, qo,
+                 s1, s2, s3, xs_c, l1_c, zh_c, *qcps):
+        def bc(i):
+            return jnp.broadcast_to(consts[i], A.shape).astype(jnp.int32)
+
+        beta_m, gamma_m, alpha_m = bc(0), bc(1), bc(2)
+        bk1, bk2, alpha2_m = bc(3), bc(4), bc(5)
+        gate = F.mont_mul(ql, A)
+        gate = F.add(gate, F.mont_mul(qr, B))
+        gate = F.add(gate, F.mont_mul(F.mont_mul(qm, A), B))
+        gate = F.add(gate, F.mont_mul(qo, C))
+        gate = F.add(gate, qk)
+        # BSB22 terms: Σ qcp_i · PI2_i (≙ computeNumerator's qcp loop)
+        for i in range(n_qcp):
+            gate = F.add(gate, F.mont_mul(qcps[2 * i], qcps[2 * i + 1]))
+        lhs = F.add(F.add(A, F.mont_mul(beta_m, xs_c)), gamma_m)
+        lhs = F.mont_mul(lhs, F.add(F.add(B, F.mont_mul(bk1, xs_c)),
+                                    gamma_m))
+        lhs = F.mont_mul(lhs, F.add(F.add(C, F.mont_mul(bk2, xs_c)),
+                                    gamma_m))
+        lhs = F.mont_mul(lhs, z)
+        rhs = F.add(F.add(A, F.mont_mul(beta_m, s1)), gamma_m)
+        rhs = F.mont_mul(rhs, F.add(F.add(B, F.mont_mul(beta_m, s2)),
+                                    gamma_m))
+        rhs = F.mont_mul(rhs, F.add(F.add(C, F.mont_mul(beta_m, s3)),
+                                    gamma_m))
+        rhs = F.mont_mul(rhs, zw)
+        # gnark's sign: s-side·Z(ωX) − id-side·Z (verify.go constLin)
+        perm = F.sub(rhs, lhs)
+        one = F.ones_mont((A.shape[0],)).astype(jnp.int32)
+        start = F.mont_mul(l1_c, F.sub(z, one))
+        num = F.add(gate, F.add(F.mont_mul(alpha_m, perm),
+                                F.mont_mul(alpha2_m, start)))
+        return F.mont_mul(num, zh_c)
+
+    _QCHUNK_CACHE[key] = chunk_fn
+    return chunk_fn
 
 
 def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
@@ -226,10 +269,17 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             return F.decode(np.asarray(dom.intt(ctx.fr_mont(evals))))
 
         def coset4_evals_dev(coeffs):
-            """host coeffs -> DEVICE Montgomery evals on the 4n coset."""
-            padded = list(coeffs) + [0] * (4 * n - len(coeffs))
-            assert len(padded) == 4 * n, "degree exceeds 4n"
-            return dom4.coset_ntt_nat(ctx.fr_mont(padded))
+            """host coeffs -> DEVICE Montgomery evals on the 4n coset.
+
+            encode_plain (one C-level to_bytes per value) + the DEVICE
+            to-Montgomery mul: F.encode's two host mulmods per element
+            were ~2-4 s per 4n-length polynomial at a 2^20 domain."""
+            assert len(coeffs) <= 4 * n, "degree exceeds 4n"
+            plain = F.encode_plain(coeffs)
+            if len(coeffs) < 4 * n:
+                plain = np.pad(
+                    plain, [(0, 4 * n - len(coeffs)), (0, 0)])
+            return dom4.coset_ntt_nat(ctx.fr_mont(plain))
 
     # ---- stage 1: solve + wire polynomials --------------------------------
     # BSB22 override: the placeholder hint becomes a KZG commitment to the

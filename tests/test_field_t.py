@@ -114,10 +114,14 @@ def test_tcurve_mask_and_sign(ec_inputs):
         assert np.array_equal(np.asarray(cr), np.asarray(cg).T)
 
 
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="Pallas interpret mode pays ~100ms/op on ~10k fused ops — the "
+           "bit-exactness check runs on REAL hardware instead "
+           "(bench/check_fused_add.py, gating the r5d A/B queue)")
 def test_fused_add_mixed_masked_bit_exact(ec_inputs):
-    """The ONE-kernel fused RCB16 mixed add (interpret mode on CPU) must
-    be bit-identical to the composed add_mixed_masked across mask/sign
-    combinations."""
+    """The ONE-kernel fused RCB16 mixed add must be bit-identical to the
+    composed add_mixed_masked across mask/sign combinations."""
     px, py, qx, qy, one = ec_inputs
     tc = TCurve(F, 9)
     P_t = (_t(px), _t(py), _t(one))

@@ -288,7 +288,8 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
     # skip staging when a resumed run already holds the MSM results — the
     # staged arrays would never be read (and the transfer competes with
     # whatever stage comes next on the single axon chip)
-    if engine == "device" and not (ck is not None and ck.has("msms")):
+    if engine == "device" and not pk._device \
+            and not (ck is not None and ck.has("msms")):
         import threading
 
         def _stage():

@@ -75,8 +75,17 @@ class KZG:
     def __init__(self, curve, srs: SRS):
         self.curve = curve
         self.srs = srs
-        self.ctx = DeviceCtx(curve)
+        self._ctx = None
         self.q = curve.fr.modulus
+
+    @property
+    def ctx(self):
+        """Lazy device context: verify-only callers (host pairing) never
+        touch the device — required for curves without a device layer
+        (bls24-315's Fp4 G2) and cheaper for host-engine verifiers."""
+        if self._ctx is None:
+            self._ctx = DeviceCtx(self.curve)
+        return self._ctx
 
     # -- commit (device MSM) -------------------------------------------------
     def commit(self, coeffs: list) -> tuple:

@@ -68,7 +68,10 @@ def batch_verify_multi_vk(curve, vks: list, commitments: list, pok,
         q_list.append(vks[0].g)
     if not p_list:
         return True
-    from ..curves.tower import Fp12
+    if hasattr(curve, "gt_one"):  # curves without the 12-degree tower
+        gt_one = curve.gt_one()
+    else:
+        from ..curves.tower import Fp12
 
-    gt_one = Fp12.one(curve.tower)
+        gt_one = Fp12.one(curve.tower)
     return curve.miller_and_final_exp(p_list, q_list) == gt_one

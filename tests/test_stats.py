@@ -12,7 +12,9 @@ import os
 
 import pytest
 
-from gnark_icicle_tpu.curves import bls12_377, bls12_381, bn254, bw6_761
+from gnark_icicle_tpu.curves import (
+    bls12_377, bls12_381, bls24_315, bn254, bw6_761,
+)
 from gnark_icicle_tpu.stats import snapshot, from_csv, diff
 
 from circuits import corpus
@@ -26,6 +28,7 @@ EXTRA_CURVES = [
     ("bls12-381", bls12_381.R),
     ("bls12-377", bls12_377.R),
     ("bw6-761", bw6_761.R),
+    ("bls24-315", bls24_315.R),
 ]
 
 

@@ -89,6 +89,16 @@ BLS12377_FR = EmulatedParams(
     8444461749428370424248824938781546531375899335154063827935233455917409239041,
     64, 4,
 )
+BLS24315_FP = EmulatedParams(
+    "bls24-315.fp",
+    39705142709513438335025689890408969744933502416914749335064285505637884093126342347073617133569,
+    64, 5,
+)
+BLS24315_FR = EmulatedParams(
+    "bls24-315.fr",
+    11502027791375260645628074404575422495959608200132055716665986169834464870401,
+    64, 4,
+)
 BW6761_FP = EmulatedParams(
     "bw6-761.fp",
     6891450384315732539396789682275657542479668912536150109513790160209623422243491736087683183289411687640864567753786613451161759120554247759349511699125301598951605099378508850372543631423596795951899700429969112842764913119068299,

@@ -25,3 +25,17 @@ env BENCH_METRIC=plonk BENCH_LOG_N=20 BENCH_ITERS=2 timeout 10800 \
   && cat bench/.r5d_plonk_20.out >> "$OUT" \
   || echo "{\"metric\": \"plonk_2^20_retry\", \"error\": $?}" >> "$OUT"
 echo "# r5d queue really end $(date -u +%FT%TZ)" >> "$OUT"
+
+# G2 fused Karatsuba add: compile-size gamble (timeout-bounded), then A/B
+timeout 3600 python bench/check_fused_add.py --g2 \
+  > bench/.r5d_fused2_check.out 2> bench/.r5d_fused2_check.err \
+  && cat bench/.r5d_fused2_check.out >> "$OUT" \
+  || echo "{\"check\": \"fused_add2\", \"error\": $?}" >> "$OUT"
+if grep -q '"exact": true' bench/.r5d_fused2_check.out 2>/dev/null; then
+  env GNARK_TPU_FUSED_ADD2=1 BENCH_METRIC=msm_g2 BENCH_LOG_N=22 BENCH_ITERS=2 \
+    timeout 7200 python bench.py \
+    > bench/.r5d_fused_g2_22.out 2> bench/.r5d_fused_g2_22.err \
+    && sed "s/msm_g2/fusedadd_msm_g2/" bench/.r5d_fused_g2_22.out >> "$OUT" \
+    || echo "{\"metric\": \"fused_g2_2^22\", \"error\": $?}" >> "$OUT"
+fi
+echo "# r5d queue REALLY end $(date -u +%FT%TZ)" >> "$OUT"

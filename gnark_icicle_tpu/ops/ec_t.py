@@ -130,6 +130,81 @@ def _mul_mxu_kernel(ops: TFieldOps, x_ref, y_ref, npt_ref, pt_ref, o_ref):
     )
 
 
+def _fused_add_mixed2_kernel(ops2: TField2Ops, b3_limbs, use_mxu,
+                             x10_ref, x11_ref, y10_ref, y11_ref,
+                             z10_ref, z11_ref,
+                             x20_ref, x21_ref, y20_ref, y21_ref,
+                             msk_ref, *rest):
+    """Fp2 analog of _fused_add_mixed_kernel: the whole RCB16 mixed add
+    (11 Fp2 Karatsuba muls ≈ 33 base montmuls) in ONE kernel. Mosaic
+    compile-size risk is real (the 17-mul G1 fusion stalled >30 min);
+    strictly opt-in via GNARK_TPU_FUSED_ADD2 pending an on-chip compile
+    + A/B (bench/check_fused_add.py --g2)."""
+    t = ops2.base
+    if use_mxu:
+        npt_ref, pt_ref = rest[0], rest[1]
+        outs = rest[2:]
+        npt, pt = npt_ref[...], pt_ref[...]
+
+        def base_mul(a_rows, b_rows):
+            return t.mul_rows_mxu(a_rows, b_rows, npt, pt)
+    else:
+        outs = rest
+
+        def base_mul(a_rows, b_rows):
+            return t.mul_rows(a_rows, b_rows)
+
+    def mul(a, b):
+        return ops2.mul_rows2(a, b, mul_rows=base_mul)
+
+    def add(a, b):
+        return ops2.add_rows2(a, b)
+
+    def sub(a, b):
+        return ops2.sub_rows2(a, b)
+
+    rows = lambda ref: t.to_rows(ref[...])
+    X1 = (rows(x10_ref), rows(x11_ref))
+    Y1 = (rows(y10_ref), rows(y11_ref))
+    Z1 = (rows(z10_ref), rows(z11_ref))
+    X2 = (rows(x20_ref), rows(x21_ref))
+    Y2 = (rows(y20_ref), rows(y21_ref))
+    msk = msk_ref[...].astype(U32)
+    valid = msk[0] != 0
+    sm = msk[1] != 0
+
+    def negf(c):
+        zero = [jnp.zeros_like(r) for r in c]
+        return t.sub_rows(zero, c)
+
+    Y2 = tuple(
+        [jnp.where(sm, n_, y_) for n_, y_ in zip(negf(comp), comp)]
+        for comp in Y2
+    )
+    b3 = tuple(
+        [jnp.full_like(X1[0][0], l) for l in limbs] for limbs in b3_limbs
+    )
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = add(mul(Y2, Z1), Y1)
+    Y3 = add(mul(X2, Z1), X1)
+    t0 = add(add(t0, t0), t0)
+    t2 = mul(b3, Z1)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mul(b3, Y3)
+    X3 = sub(mul(t3, t1), mul(t4, Y3))
+    Y3 = add(mul(Y3, t0), mul(t1, Z3))
+    Z3 = add(mul(Z3, t4), mul(t0, t3))
+
+    ins = (x10_ref, x11_ref, y10_ref, y11_ref, z10_ref, z11_ref)
+    news = (X3[0], X3[1], Y3[0], Y3[1], Z3[0], Z3[1])
+    for o_ref, new_rows, in_ref in zip(outs, news, ins):
+        o_ref[...] = jnp.where(valid, t.from_rows(new_rows), in_ref[...])
+
+
 class TCurve:
     """a=0 curve ops on transposed (K, N) points; G1 (prime field) only —
     the MSM wave loop is the consumer.
@@ -816,6 +891,48 @@ class TCurve2:
                  jnp.where(sel, ny[0], Q[2]), jnp.where(sel, ny[1], Q[3]))
         new = self._add_mixed_impl(P, Q, use_pallas)
         return self.select(mask, new, P)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def add_mixed_masked_fused(self, P, Q_affine, mask, sign=None):
+        """ONE-kernel fused Fp2 mixed add (≈33 base montmuls in VMEM).
+        Opt-in via GNARK_TPU_FUSED_ADD2=1 — pending the Mosaic
+        compile-size check on chip; CPU runs interpret mode (tests)."""
+        interpret = jax.default_backend() == "cpu"
+        K = self.K
+        n = P[0].shape[1]
+        bn = max(256, (512 * 16 // K) // 256 * 256)
+        rem = (-n) % bn
+        sgn = (jnp.zeros_like(mask, dtype=jnp.int32) if sign is None
+               else sign.astype(jnp.int32))
+        msk = jnp.stack([mask.astype(jnp.int32), sgn])
+        ins = list(P) + list(Q_affine)
+        if rem:
+            ins = [jnp.pad(a, ((0, 0), (0, rem))) for a in ins]
+            msk = jnp.pad(msk, ((0, 0), (0, rem)))
+        specs = [pl.BlockSpec((K, bn), lambda i: (0, i))] * 10
+        specs.append(pl.BlockSpec((2, bn), lambda i: (0, i)))
+        args = ins + [msk]
+        b3_limbs = tuple(
+            tuple((c >> (16 * i)) & 0xFFFF for i in range(K))
+            for c in self.b3_mont
+        )
+        if self.use_mxu:
+            for tbl in self._tables:
+                specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0)))
+                args.append(tbl)
+        kern = partial(_fused_add_mixed2_kernel, self.t2, b3_limbs,
+                       self.use_mxu)
+        out = pl.pallas_call(
+            kern,
+            grid=((n + rem) // bn,),
+            in_specs=specs,
+            out_specs=[pl.BlockSpec((K, bn), lambda i: (0, i))] * 6,
+            out_shape=[jax.ShapeDtypeStruct((K, n + rem), jnp.int32)] * 6,
+            interpret=interpret,
+        )(*args)
+        if rem:
+            out = [o[:, :n] for o in out]
+        return tuple(out)
 
     @partial(jax.jit, static_argnums=(0, 3))
     def add(self, P, Q, use_pallas: bool = True):

@@ -232,7 +232,9 @@ class MSMKernel:
                     for i in range(n_planes)
                 )
                 sg = sign_flat[flat_idx].astype(jnp.int32)
-                if os.environ.get("GNARK_TPU_FUSED_ADD") == "1" and \
+                flag = ("GNARK_TPU_FUSED_ADD2" if n_planes > 2
+                        else "GNARK_TPU_FUSED_ADD")
+                if os.environ.get(flag) == "1" and \
                         hasattr(tc, "add_mixed_masked_fused"):
                     return t + 1, tc.add_mixed_masked_fused(
                         acc_s, q, valid, sg)

@@ -30,12 +30,17 @@ def _mont_chunked(dev_field: LimbField, values: np.ndarray) -> jnp.ndarray:
     k = values.shape[1]
     budget = max(1 << 14, ((1 << 20) * 16 * 16) // (k * k))
     chunk = 1 << (budget.bit_length() - 1)  # pow2: one jit shape per field
+
+    def stage(arr):
+        # limbs are 16-bit values: ship them over the (slow) axon tunnel
+        # as uint16 and widen ON DEVICE — halves the H2D bytes (the r5c
+        # computeH breakdown showed pad_mont ≈ 8 s at 2^20, transfer-bound)
+        return dev_field.to_mont(
+            jnp.asarray(arr.astype(np.uint16)).astype(jnp.int32))
+
     if n <= chunk:
-        return dev_field.to_mont(jnp.asarray(values.astype(np.int32)))
-    parts = [
-        dev_field.to_mont(jnp.asarray(values[lo : lo + chunk].astype(np.int32)))
-        for lo in range(0, n, chunk)
-    ]
+        return stage(values)
+    parts = [stage(values[lo : lo + chunk]) for lo in range(0, n, chunk)]
     return jnp.concatenate(parts, axis=0)
 
 
@@ -115,7 +120,8 @@ class DeviceCtx:
     def fr_scalars(self, values) -> jnp.ndarray:
         """Host ints or (N, K) int32 limb array -> plain-form limbs."""
         if isinstance(values, np.ndarray) and values.ndim == 2:
-            return jnp.asarray(values.astype(np.int32))
+            # u16 over the tunnel, widen on device (see _mont_chunked)
+            return jnp.asarray(values.astype(np.uint16)).astype(jnp.int32)
         return jnp.asarray(
             scalars_to_limbs([v % self.curve.fr.modulus for v in values],
                              self.fr_dev.K)

@@ -205,3 +205,29 @@ def test_emulated_same_curve_commitment_recursion():
     )
     with pytest.raises(EngineUnsatisfiedError):
         gv.assert_proof(bad, pub)
+
+
+@pytest.mark.slow
+def test_emulated_cross_curve_commitment_recursion():
+    """BLS12-381 commitment proof verified inside a BN254 circuit: the
+    committed publics are emulated inner-Fr elements, absorbed into the
+    outer-native MiMC as canonical 64-bit limbs (the cross-curve branch
+    of the absorb convention)."""
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+    from gnark_icicle_tpu.std.recursion.groth16 import Groth16Verifier
+
+    vk, proof, pub = _make_inner(b381.R, b381.BLS12_381, bn254.R, seed=21)
+    gv = Groth16Verifier(Engine(bn254.R), bn254.R, vk,
+                         curve_id="bls12-381")
+    w = gv.proof_witness(proof)
+    pubs = [gv.curve.fr.constant(int(pub[0]))]
+    gv.assert_proof(w, pubs)
+
+    bad = gv.proof_witness(proof)
+    fp = gv.curve.fp
+    other = b381.G1.scalar_mul(proof.commitments[0], 2)
+    bad.commitments = (
+        type(bad.ar)(fp.constant(other[0]), fp.constant(other[1])),
+    )
+    with pytest.raises(EngineUnsatisfiedError):
+        gv.assert_proof(bad, pubs)

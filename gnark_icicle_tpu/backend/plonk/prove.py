@@ -266,7 +266,13 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         F = ctx.fr_dev
 
         def evals_to_coeffs(evals):
-            return F.decode(np.asarray(dom.intt(ctx.fr_mont(evals))))
+            """Lagrange evals (host ints) -> coefficient host ints: both
+            Montgomery conversions happen ON DEVICE (encode_plain is one
+            C-level to_bytes per value; F.decode's host from-Mont was two
+            bigint mulmods per element — seconds per 2^20 polynomial)."""
+            plain_in = F.encode_plain(evals)
+            coeffs_m = dom.intt(ctx.fr_mont(plain_in))
+            return F.decode_plain(np.asarray(F.from_mont(coeffs_m)))
 
         def coset4_evals_dev(coeffs):
             """host coeffs -> DEVICE Montgomery evals on the 4n coset.
@@ -482,7 +488,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
                 curve.fr.multiplicative_generator,
                 curve.fr.root_of_unity(log_n + 2), q,
             )
-            t_coeffs = F.decode(np.asarray(t_mont))
+            t_coeffs = F.decode_plain(np.asarray(F.from_mont(t_mont)))
             # T has degree ≤ 3n+5; split into 3 shards of n+2
             t1 = t_coeffs[:shard]
             t2 = t_coeffs[shard : 2 * shard]

@@ -208,6 +208,36 @@ def _quotient_chunk_fn(F, n_qcp: int):
     return chunk_fn
 
 
+def _linear_combo_dev(ctx, F, terms, length: int, q: int):
+    """Σ sᵢ·Pᵢ on DEVICE in Montgomery form (≙ the linearized-poly /
+    batch-fold host loops, prove.go:1233-1319 — there CPU-parallel; the
+    all-host bigint version was ~26M mulmods ≈ tens of seconds at 2^20).
+
+    terms: (poly, scalar) with poly either a host coefficient list or an
+    already-device (length, K) Montgomery array. Returns the device
+    Montgomery accumulator; decode with F.decode_plain(F.from_mont(...))."""
+    import jax.numpy as jnp
+
+    acc = None
+    for coeffs, s in terms:
+        if isinstance(coeffs, list):
+            plain = F.encode_plain(coeffs)
+            if plain.shape[0] < length:
+                plain = np.pad(
+                    plain, [(0, length - plain.shape[0]), (0, 0)])
+            pm = ctx.fr_mont(plain)
+        else:  # device Montgomery array
+            pm = coeffs
+            if pm.shape[0] < length:
+                pm = jnp.pad(pm, [(0, length - pm.shape[0]), (0, 0)])
+        s = s % q
+        if s != 1:
+            s_m = jnp.asarray(F.encode([s])[0])
+            pm = F.mont_mul(pm, jnp.broadcast_to(s_m, pm.shape))
+        acc = pm if acc is None else F.add(acc, pm)
+    return acc
+
+
 def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
           curve, rng=None, checkpoint_dir: str | None = None,
           fs_hash: str = "sha256", engine: str = "device") -> Proof:
@@ -538,19 +568,32 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
     def scaled(coeffs, s):
         return [c * s % q for c in coeffs]
 
-    lin = scaled(pk.trace_coeffs["ql"], l_z)
-    lin = _add_poly(lin, scaled(pk.trace_coeffs["qr"], r_z), q)
-    lin = _add_poly(lin, scaled(pk.trace_coeffs["qm"], rl), q)
-    lin = _add_poly(lin, scaled(pk.trace_coeffs["qo"], o_z), q)
-    lin = _add_poly(lin, pk.trace_coeffs["qk"], q)
+    lin_terms = [
+        (pk.trace_coeffs["ql"], l_z),
+        (pk.trace_coeffs["qr"], r_z),
+        (pk.trace_coeffs["qm"], rl),
+        (pk.trace_coeffs["qo"], o_z),
+        (pk.trace_coeffs["qk"], 1),
+    ]
     for i in range(len(commitment_info)):
-        lin = _add_poly(lin, scaled(pi2_coeffs[i], qcp_z[i]), q)
-    lin = _add_poly(lin, scaled(pk.trace_coeffs["s3"], s1_coef), q)
-    lin = _add_poly(lin, scaled(z_coeffs, z_coef), q)
-    lin = _add_poly(lin, scaled(t1, (-zh_z) % q), q)
-    lin = _add_poly(lin, scaled(t2, (-zh_z) * zeta_n2 % q), q)
-    lin = _add_poly(lin, scaled(t3, (-zh_z) * zeta_n2 % q * zeta_n2 % q), q)
-    lin_com = kzg.commit(lin)
+        lin_terms.append((pi2_coeffs[i], qcp_z[i]))
+    lin_terms += [
+        (pk.trace_coeffs["s3"], s1_coef),
+        (z_coeffs, z_coef),
+        (t1, (-zh_z) % q),
+        (t2, (-zh_z) * zeta_n2 % q),
+        (t3, (-zh_z) * zeta_n2 % q * zeta_n2 % q),
+    ]
+    if engine == "device":
+        L = n + 4  # covers blinded z (n+3) and the n+2 shards
+        lin_m = _linear_combo_dev(ctx, F, lin_terms, L, q)
+        lin = F.decode_plain(np.asarray(F.from_mont(lin_m)))
+        lin_com = kzg.commit_mont(lin_m)
+    else:
+        lin = []
+        for p, s in lin_terms:
+            lin = _add_poly(lin, scaled(p, s) if s != 1 else list(p), q)
+        lin_com = kzg.commit(lin)
     lin_z = _eval_poly(lin, zeta, q)
 
     polys = [lin, a_coeffs, b_coeffs, c_coeffs,
@@ -565,11 +608,20 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
 
     gamma_kzg = kzg_fold_challenge(fs_hash, curve, q, zeta, digests,
                                    claimed, zu)
-    folded = []
-    gi = 1
-    for p in polys:
-        folded = _add_poly(folded, scaled(p, gi), q)
-        gi = gi * gamma_kzg % q
+    if engine == "device":
+        gi = 1
+        fold_terms = []
+        for idx, p in enumerate(polys):
+            fold_terms.append((lin_m if idx == 0 else p, gi))
+            gi = gi * gamma_kzg % q
+        folded_m = _linear_combo_dev(ctx, F, fold_terms, L, q)
+        folded = F.decode_plain(np.asarray(F.from_mont(folded_m)))
+    else:
+        folded = []
+        gi = 1
+        for p in polys:
+            folded = _add_poly(folded, scaled(p, gi), q)
+            gi = gi * gamma_kzg % q
     _, batch_h = kzg.open(folded, zeta)
 
     _mark("round4 linearization+openings")

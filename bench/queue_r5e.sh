@@ -42,3 +42,10 @@ env BENCH_METRIC=msm_g2 BENCH_LOG_N=24 BENCH_ITERS=2 timeout 7200 \
   && cat bench/.r5e_g2_24.out >> "$OUT" \
   || echo "{\"metric\": \"msm_g2_2^24\", \"error\": $?}" >> "$OUT"
 echo "# r5e queue end $(date -u +%FT%TZ)" >> "$OUT"
+
+# final: the driver-default suite (warms the exact BENCH_r5 shapes incl.
+# the new u16 to_mont jit) and records our own copy of the three lines
+timeout 10800 python bench.py > bench/.r5e_suite.out 2> bench/.r5e_suite.err \
+  && cat bench/.r5e_suite.out >> "$OUT" \
+  || echo "{\"metric\": \"default_suite\", \"error\": $?}" >> "$OUT"
+echo "# r5e queue REALLY end $(date -u +%FT%TZ)" >> "$OUT"

@@ -172,6 +172,12 @@ def g1_from_bytes(curve, data: bytes, offset: int = 0):
 # ---------------------------------------------------------------------------
 
 def g2_to_bytes(curve, pt, compressed: bool = True) -> bytes:
+    if curve.name == "bls24-315":
+        raise NotImplementedError(
+            "bls24-315 G2 (Fp4 coordinates) has no byte serialization — "
+            "gnark-crypto's encoding is not derivable from the reference "
+            "tree (PARITY.md memo); proofs stay in-memory/pickled"
+        )
     nb = curve.fp.nb_bytes
     s = _scheme(curve)
     if compressed:

@@ -270,6 +270,9 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
         binding = hashlib.sha256(
             b"g16ck" + cs.nb_constraints.to_bytes(8, "big")
             + pk.domain_log_n.to_bytes(2, "big")
+            # the commitment-hash mode changes the solved commitment wire:
+            # a resume across modes must invalidate the saved solve
+            + repr(commitment_hash).encode()
             + b"".join(int(v % q).to_bytes(nb, "big") for v in public_values)
             # bind the secret witness too: resuming with different secrets
             # must invalidate the saved solved witness

@@ -262,6 +262,9 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         binding = hashlib.sha256(
             b"plonkck" + cs.nb_gates.to_bytes(8, "big")
             + pk.log_n.to_bytes(2, "big")
+            # beta/gamma (and so the checkpointed Z / quotient stages)
+            # depend on the transcript hash — bind the mode
+            + fs_hash.encode()
             + b"".join(int(v).to_bytes(32, "big") for v in public_values)
             # bind the secret witness too: resuming with different secrets
             # must invalidate the saved solved witness

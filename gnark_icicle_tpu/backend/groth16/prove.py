@@ -479,17 +479,61 @@ def prove(cs: R1CS, pk: ProvingKey, public_values, secret_values, curve,
             pts, inf, scal = _pad_msm_inputs(pts, inf, scal, 1)
             return kern.msm(pts, inf, scal, pick_window(scal.shape[0]))
 
-        ar_dev = _msm(ctx.msm_g1, dev["a"][0], dev["a"][1], wires)
-        bs1_dev = _msm(ctx.msm_g1, dev["b1"][0], dev["b1"][1], wires)
-        bs2_dev = _msm(ctx.msm_g2, dev["b2"][0], dev["b2"][1], wires)
-        krs_parts = []
-        if nb_priv > 0:
+        import os as _os
+
+        if _os.environ.get("GNARK_TPU_BATCH_MSM", "0") == "1":
+            # one dispatch set for every equal-padded-size G1 operand
+            # (A/B1/K always coincide; Z joins when the domain pads to the
+            # wire count): msm_batch stacks problems into the global
+            # window axis so they share the wave while_loop — M× fewer
+            # per-wave dispatches, the dominant cost of the prover's
+            # small-N MSMs (PERF_NOTES round-5 2-chain teardown).
+            # ≙ ICICLE MSM cfg.BatchSize (one launch, many MSMs).
+            g1_ops = [("ar", dev["a"], wires), ("bs1", dev["b1"], wires)]
+            if nb_priv > 0:
+                g1_ops.append(("k", dev["k"], priv_wires))
+            g1_ops.append(("z", dev["z"], h_scalars))
+            padded = {}
+            for name, (pts, inf), scal in g1_ops:
+                padded[name] = _pad_msm_inputs(pts, inf, scal, 1)
+            groups: dict = {}
+            for name, (pts, inf, scal) in padded.items():
+                groups.setdefault(scal.shape[0], []).append(
+                    (name, pts, inf, scal))
+            res = {}
+            for n_pad, grp in groups.items():
+                if len(grp) == 1:
+                    name, pts, inf, scal = grp[0]
+                    res[name] = ctx.msm_g1.msm(
+                        pts, inf, scal, pick_window(n_pad))
+                    continue
+                import jax as _jx
+
+                stacked_pts = _jx.tree.map(
+                    lambda *ls: jnp.stack(ls), *[g[1] for g in grp])
+                out = ctx.msm_g1.msm_batch(
+                    stacked_pts,
+                    jnp.stack([g[2] for g in grp]),
+                    jnp.stack([g[3] for g in grp]),
+                    pick_window(n_pad),
+                )
+                for m, (name, *_rest) in enumerate(grp):
+                    res[name] = _jx.tree.map(lambda a, m=m: a[m], out)
+            ar_dev, bs1_dev = res["ar"], res["bs1"]
+            krs_parts = [res[k] for k in ("k", "z") if k in res]
+            bs2_dev = _msm(ctx.msm_g2, dev["b2"][0], dev["b2"][1], wires)
+        else:
+            ar_dev = _msm(ctx.msm_g1, dev["a"][0], dev["a"][1], wires)
+            bs1_dev = _msm(ctx.msm_g1, dev["b1"][0], dev["b1"][1], wires)
+            bs2_dev = _msm(ctx.msm_g2, dev["b2"][0], dev["b2"][1], wires)
+            krs_parts = []
+            if nb_priv > 0:
+                krs_parts.append(
+                    _msm(ctx.msm_g1, dev["k"][0], dev["k"][1], priv_wires)
+                )
             krs_parts.append(
-                _msm(ctx.msm_g1, dev["k"][0], dev["k"][1], priv_wires)
+                _msm(ctx.msm_g1, dev["z"][0], dev["z"][1], h_scalars)
             )
-        krs_parts.append(
-            _msm(ctx.msm_g1, dev["z"][0], dev["z"][1], h_scalars)
-        )
         msms = (
             ctx.g1_to_host(ar_dev), ctx.g1_to_host(bs1_dev),
             ctx.g2_to_host(bs2_dev), [ctx.g1_to_host(p) for p in krs_parts],

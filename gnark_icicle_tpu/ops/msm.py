@@ -703,6 +703,206 @@ class MSMKernel:
         return acc
 
 
+    # ------------------------------------------------------------------
+    # batched multi-MSM: M problems, ONE wave loop
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 4))
+    def msm_batch(self, points, inf_mask, scalar_limbs, c: int):
+        """M equal-size MSMs as ONE Pippenger dispatch set.
+
+        points: affine pytree, leaves (M, N, K); inf_mask: (M, N) bool;
+        scalar_limbs: (M, N, Kr); c: shared window bits. Returns the
+        projective pytree with a leading M axis (result m = Σ_i s[m,i]·P[m,i]).
+
+        Role parity: ICICLE's MSM ``batch_size`` config (one launch computes
+        many MSMs — msm.go BatchSize / icicle.go:312-324 MsmOnDevice called
+        per operand). TPU-first rationale: each problem's W windows stack
+        into one GLOBAL window axis of M·W rows, so the (window, bucket)
+        lane grid grows M-fold while the *wave count* stays ≈ max bucket
+        run ≈ N/B — the M problems ride the SAME lax.while_loop, paying one
+        per-wave dispatch instead of M. Below ~2^17 rows the per-dispatch
+        floor dominates the groth16 prover's A/B1/K MSMs (PERF_NOTES
+        round-5: the 2-chain marginal prove is 33.1 s of msms at 35k rows),
+        so batching is ~M× on dispatch-bound shapes and harmless on
+        throughput-bound ones. Per-problem results are bit-identical to
+        separate ``msm`` calls: each lane's bucket accumulation order and
+        the per-window reduction are unchanged — only the lane-grid
+        packing differs.
+        """
+        curve = self.curve
+        M, n = inf_mask.shape
+        small_max = int(os.environ.get("GNARK_TPU_SMALL_MSM", "128"))
+        if n <= small_max:  # static: compile-lean path per problem
+            outs = [
+                self._msm_small(
+                    jax.tree.map(lambda a, m=m: a[m], points),
+                    inf_mask[m], scalar_limbs[m],
+                )
+                for m in range(M)
+            ]
+            return jax.tree.map(lambda *ls: jnp.stack(ls), *outs)
+        B = 1 << (c - 1)
+        # (W, M, N) digit stack -> (M, W, N): problem-major global windows
+        digits = jnp.transpose(
+            self._signed_digits(scalar_limbs, c), (1, 0, 2)
+        )
+        W = digits.shape[1]
+        MW = M * W
+
+        sign = digits < 0
+        mag = jnp.abs(digits)
+        bucket_id = jnp.where(
+            (mag == 0) | inf_mask[:, None, :], B, mag - 1
+        ).reshape(MW, n)
+        sign = sign.reshape(MW, n)
+
+        key = (bucket_id.astype(jnp.int32) << 1) | sign.astype(jnp.int32)
+        iota = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :], key.shape
+        )
+        sorted_key, order = jax.lax.sort(
+            (key, iota), dimension=1, num_keys=1
+        )
+        sorted_bid = sorted_key >> 1
+        sorted_sign = (sorted_key & 1).astype(jnp.bool_)
+
+        bvals = jnp.arange(B, dtype=sorted_bid.dtype)
+        starts = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="left"))(
+            sorted_bid
+        ).astype(jnp.int32)
+        ends = jax.vmap(lambda s: jnp.searchsorted(s, bvals, side="right"))(
+            sorted_bid
+        ).astype(jnp.int32)
+        counts = ends - starts
+
+        L = MW * B
+        counts_f = counts.reshape(L)
+        starts_f = starts.reshape(L)
+        lane_order = jnp.argsort(-counts_f)
+        inv_order = jnp.argsort(lane_order)
+        counts_p = counts_f[lane_order]
+        starts_p = starts_f[lane_order]
+        win_of_lane = (jnp.arange(L, dtype=jnp.int32) // B)[lane_order]
+        # order holds LOCAL point indices; lift to GLOBAL rows of the
+        # concatenated point table so the shared gather resolves problem m
+        prob_of_win = jnp.arange(MW, dtype=jnp.int32) // W
+        order_flat = (order + (prob_of_win * n)[:, None]).reshape(-1)
+        sign_flat = sorted_sign.reshape(-1)
+
+        stage_sizes = []
+        s = L
+        while s >= 1024 and len(stage_sizes) < 4:
+            stage_sizes.append(s)
+            s //= 4
+        if not stage_sizes:
+            stage_sizes = [L]
+
+        cat_points = jax.tree.map(
+            lambda a: a.reshape((M * n,) + a.shape[2:]), points
+        )
+
+        from .ec import DevField, DevField2
+
+        is_fp2 = isinstance(curve.f, DevField2)
+        t_flag = os.environ.get("GNARK_TPU_T_MSM", "1")
+        use_t = (
+            (isinstance(curve.f, DevField) or is_fp2)
+            and t_flag != "0"
+            and (jax.default_backend() == "tpu" or t_flag == "force")
+        )
+        if use_t:
+            from .ec_t import TCurve, TCurve2
+
+            if is_fp2:
+                tc = TCurve2(self.curve.f.F, self.curve.f.beta,
+                             tuple(self.curve.b3_host))
+            else:
+                tc = TCurve(self.curve.f.F, self.curve.b3_host)
+            buckets_t = self._wave_accumulate_t(
+                tc, cat_points, order_flat, sign_flat, starts_p, counts_p,
+                win_of_lane, stage_sizes, n, L, inv_order,
+            )
+            per_window = self._bucket_reduce_t(tc, buckets_t, MW, B)
+            per_window = tc.to_curve_tree(per_window)  # leaves (MW, K)
+            grouped = jax.tree.map(
+                lambda a: a.reshape((M, W) + a.shape[1:]), per_window
+            )
+            acc = jax.tree.map(lambda a: a[:, W - 1], grouped)
+            if W > 1:
+                # scan axis first: (W-1, M, K) window tail, batched Horner
+                tail = jax.tree.map(
+                    lambda a: jnp.swapaxes(a[:, W - 2::-1], 0, 1), grouped
+                )
+
+                def horner(x, s_w):
+                    x = self._double_k_scan(x, c)
+                    return curve.add(x, s_w), None
+
+                acc, _ = jax.lax.scan(horner, acc, tail)
+            return acc
+
+        x_proto = jax.tree.map(
+            lambda a: jnp.zeros((L,) + a.shape[2:], a.dtype), points[0]
+        )
+        acc = curve.identity_like(x_proto)
+
+        def make_wave(S, acc_slice_meta):
+            starts_s, counts_s, win_s = acc_slice_meta
+
+            def wave(state):
+                t, acc_s = state
+                idx_sorted = jnp.clip(starts_s + t, 0, n - 1)
+                valid = t < counts_s
+                flat_idx = win_s * n + idx_sorted
+                pt_idx = order_flat[flat_idx]
+                gp = jax.tree.map(lambda a: a[pt_idx], cat_points)
+                sg = sign_flat[flat_idx]
+                gy = curve.f.select(sg, curve.f.neg(gp[1]), gp[1])
+                new = curve.add_mixed(acc_s, (gp[0], gy))
+                return t + 1, curve.select(valid, new, acc_s)
+
+            return wave
+
+        t = jnp.int32(0)
+        for si, S in enumerate(stage_sizes):
+            meta = (starts_p[:S], counts_p[:S], win_of_lane[:S])
+            wave = make_wave(S, meta)
+            if si + 1 < len(stage_sizes):
+                t_stop = counts_p[stage_sizes[si + 1]]
+            else:
+                t_stop = counts_p[0]
+            acc_s = jax.tree.map(lambda a: a[:S], acc)
+            t, acc_s = jax.lax.while_loop(
+                lambda st: st[0] < t_stop, wave, (t, acc_s)
+            )
+            acc = jax.tree.map(
+                lambda full, part: jax.lax.dynamic_update_slice(
+                    full, part, (0,) * full.ndim
+                ),
+                acc, acc_s,
+            )
+
+        buckets = jax.tree.map(
+            lambda a: a[inv_order].reshape((MW, B) + a.shape[1:]), acc
+        )
+        per_window = self._bucket_reduce(buckets, B)  # leaves (MW, K)
+        grouped = jax.tree.map(
+            lambda a: a.reshape((M, W) + a.shape[1:]), per_window
+        )
+        acc = jax.tree.map(lambda a: a[:, W - 1], grouped)
+        if W > 1:
+            tail = jax.tree.map(
+                lambda a: jnp.swapaxes(a[:, W - 2::-1], 0, 1), grouped
+            )
+
+            def horner(x, s_w):
+                x = self._double_k_scan(x, c)
+                return curve.add(x, s_w), None
+
+            acc, _ = jax.lax.scan(horner, acc, tail)
+        return acc
+
+
 def scalars_to_limbs(xs, n_limbs: int) -> np.ndarray:
     """Host ints -> (N, n_limbs) plain-form 16-bit limb array (int32)."""
     out = np.zeros((len(xs), n_limbs), dtype=np.int64)

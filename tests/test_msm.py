@@ -232,3 +232,95 @@ def test_msm_transposed_path_bit_exact(group, monkeypatch):
     got = msm_host(dev, bn254.FR, pts, scalars)
     want = host_msm(host, scalars, pts)
     assert got == want
+
+
+def test_msm_batch_bit_identical_to_separate():
+    """msm_batch (M problems stacked into the global window axis, one
+    shared wave loop — the ICICLE MSM batch_size analog) must return
+    BIT-IDENTICAL projective coords to M separate msm() calls: each
+    lane's bucket accumulation sequence and the per-window reduction are
+    unchanged by the batch packing. Edges per problem: infinity lanes,
+    zero scalars, duplicate points. n > small_max so the real Pippenger
+    path (jnp row form on CPU) is exercised."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnark_icicle_tpu.ops.msm import MSMKernel, pick_window, \
+        scalars_to_limbs
+
+    rng = random.Random(77)
+    M, n = 3, 160
+    kern = MSMKernel(G1_DEV, scalar_bits=bn254.R.bit_length())
+    f = G1_DEV.f
+    n_limbs = -(-bn254.R.bit_length() // 16)
+
+    probs = []
+    for m in range(M):
+        pts = [bn254.G1.random_point(rng) for _ in range(n)]
+        pts[2 + m] = None                  # infinity lane
+        pts[9] = pts[4]                    # duplicate point
+        scal = [rng.randrange(bn254.R) for _ in range(n)]
+        scal[5 + m] = 0                    # zero scalar
+        inf = np.array([p is None for p in pts], dtype=bool)
+        dummy = next(p for p in pts if p is not None)
+        filled = [p if p is not None else dummy for p in pts]
+        x = jnp.asarray(f.encode([p[0] for p in filled]))
+        y = jnp.asarray(f.encode([p[1] for p in filled]))
+        s = jnp.asarray(scalars_to_limbs(scal, n_limbs))
+        probs.append(((x, y), jnp.asarray(inf), s, scal, pts))
+
+    c = pick_window(n)
+    seps = [kern.msm(p, i, s, c) for p, i, s, _, _ in probs]
+    batched = kern.msm_batch(
+        jax.tree.map(lambda *ls: jnp.stack(ls), *[p for p, _, _, _, _ in probs]),
+        jnp.stack([i for _, i, _, _, _ in probs]),
+        jnp.stack([s for _, _, s, _, _ in probs]),
+        c,
+    )
+    for m, sep in enumerate(seps):
+        got_m = jax.tree.map(lambda a, m=m: a[m], batched)
+        for a, b in zip(jax.tree.leaves(got_m), jax.tree.leaves(sep)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        # and the affine result matches the host oracle
+        aff = G1_DEV.to_affine_host(
+            jax.tree.map(lambda a: a[None], sep), bn254.P)[0]
+        assert aff == host_msm(bn254.G1, probs[m][3], probs[m][4])
+
+
+def test_msm_batch_small_path():
+    """Below the small-MSM threshold msm_batch stacks per-problem
+    double-and-add results; must match the host oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnark_icicle_tpu.ops.msm import MSMKernel, pick_window, \
+        scalars_to_limbs
+
+    rng = random.Random(78)
+    M, n = 2, 17
+    kern = MSMKernel(G1_DEV, scalar_bits=bn254.R.bit_length())
+    f = G1_DEV.f
+    n_limbs = -(-bn254.R.bit_length() // 16)
+    pts_all, scal_all, enc = [], [], []
+    for m in range(M):
+        pts = [bn254.G1.random_point(rng) for _ in range(n)]
+        scal = [rng.randrange(bn254.R) for _ in range(n)]
+        pts_all.append(pts)
+        scal_all.append(scal)
+        x = jnp.asarray(f.encode([p[0] for p in pts]))
+        y = jnp.asarray(f.encode([p[1] for p in pts]))
+        enc.append(((x, y), jnp.zeros(n, bool),
+                    jnp.asarray(scalars_to_limbs(scal, n_limbs))))
+    batched = kern.msm_batch(
+        jax.tree.map(lambda *ls: jnp.stack(ls), *[e[0] for e in enc]),
+        jnp.stack([e[1] for e in enc]),
+        jnp.stack([e[2] for e in enc]),
+        pick_window(n),
+    )
+    for m in range(M):
+        got_m = jax.tree.map(lambda a, m=m: a[m], batched)
+        aff = G1_DEV.to_affine_host(
+            jax.tree.map(lambda a: a[None], got_m), bn254.P)[0]
+        assert aff == host_msm(bn254.G1, scal_all[m], pts_all[m])

@@ -73,6 +73,20 @@ def main():
     print(json.dumps({"check": "batch_msm_bit_exact", "log_n": log_n,
                       "M": M, "exact": exact}), flush=True)
 
+    # shared point table (the KZG commit_batch layout: leading dim 1)
+    shared = jax.block_until_ready(kern.msm_batch(
+        (px_d[None], py_d[None]), inf_b, scal_d, c))
+    sh_exact = True
+    for m in range(M):
+        for a, b in zip(jax.tree.leaves(
+                jax.tree.map(lambda x, m=m: x[m], shared)),
+                jax.tree.leaves(seps[m])):
+            sh_exact &= bool(jnp.array_equal(a, b))
+    exact = exact and sh_exact
+    print(json.dumps({"check": "batch_msm_shared_bit_exact",
+                      "log_n": log_n, "M": M, "exact": sh_exact}),
+          flush=True)
+
     # ---- A/B: M sequential dispatch sets vs one batch ---------------
     sep_best, bat_best = float("inf"), float("inf")
     for i in range(iters):

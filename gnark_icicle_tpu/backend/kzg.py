@@ -107,6 +107,49 @@ class KZG:
         res = self.ctx.msm_g1.msm(pts, inf, scal, pick_window(n))
         return self.ctx.g1_to_host(res)
 
+    # -- batched commits (one wave loop for M polynomials) -------------------
+    def commit_batch(self, coeffs_list) -> list:
+        """[p_m(τ)]₁ for M equal-length coefficient lists via ONE msm_batch
+        over the SHARED SRS table (≙ ICICLE MSM cfg.BatchSize) — the M
+        problems ride one wave while_loop, paying the per-wave fixed
+        overhead once instead of M times (the PLONK prover's a/b/c and
+        t1/t2/t3 commit groups, prove.go:320-340,718-720)."""
+        ns = {len(c) for c in coeffs_list}
+        assert len(ns) == 1, "commit_batch needs equal-length polynomials"
+        n = ns.pop()
+        if n == 0:
+            return [None] * len(coeffs_list)
+        import jax.numpy as jnp
+
+        scal = jnp.stack([self.ctx.fr_scalars(c) for c in coeffs_list])
+        return self._commit_scal_batch(scal, n)
+
+    def commit_mont_batch(self, mont_list) -> list:
+        """Batched commit_mont: M device Montgomery (n, K) arrays."""
+        import jax.numpy as jnp
+
+        n = mont_list[0].shape[0]
+        assert all(m.shape[0] == n for m in mont_list)
+        scal = jnp.stack(
+            [self.ctx.fr_dev.from_mont(m) for m in mont_list])
+        return self._commit_scal_batch(scal, n)
+
+    def _commit_scal_batch(self, scal, n):
+        assert n <= len(self.srs.g1_powers), "SRS too small"
+        import jax
+        import jax.numpy as jnp
+
+        pts, inf = self.srs.device_points(self.ctx, n)
+        M = scal.shape[0]
+        res = self.ctx.msm_g1.msm_batch(
+            jax.tree.map(lambda a: a[None], pts),   # shared point table
+            jnp.broadcast_to(inf, (M, n)), scal, pick_window(n),
+        )
+        return [
+            self.ctx.g1_to_host(jax.tree.map(lambda a, m=m: a[m], res))
+            for m in range(M)
+        ]
+
     # -- open ------------------------------------------------------------------
     def open(self, coeffs: list, z: int):
         """(value p(z), proof [q(τ)]₁) with q = (p − p(z))/(X − z)."""

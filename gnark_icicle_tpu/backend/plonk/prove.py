@@ -399,9 +399,16 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
         a_coeffs = blind(evals_to_coeffs(av), 1)
         b_coeffs = blind(evals_to_coeffs(bv), 1)
         c_coeffs = blind(evals_to_coeffs(cv), 1)
-        a_com = kzg.commit(a_coeffs)
-        b_com = kzg.commit(b_coeffs)
-        c_com = kzg.commit(c_coeffs)
+        import os as _os
+
+        if _os.environ.get("GNARK_TPU_BATCH_MSM", "0") == "1":
+            # one wave loop for the three wire commits (shared SRS table)
+            a_com, b_com, c_com = kzg.commit_batch(
+                [a_coeffs, b_coeffs, c_coeffs])
+        else:
+            a_com = kzg.commit(a_coeffs)
+            b_com = kzg.commit(b_coeffs)
+            c_com = kzg.commit(c_coeffs)
         if ck is not None:
             ck.save("round1",
                     (a_coeffs, b_coeffs, c_coeffs, a_com, b_com, c_com))
@@ -528,11 +535,18 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             t3 = t_coeffs[2 * shard : 3 * shard]
             for c in t_coeffs[3 * shard :]:
                 assert c == 0, "quotient degree overflow — identity violated"
-            h_coms = (
-                kzg.commit_mont(t_mont[:shard]),
-                kzg.commit_mont(t_mont[shard : 2 * shard]),
-                kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
-            )
+            import os as _os
+
+            if _os.environ.get("GNARK_TPU_BATCH_MSM", "0") == "1":
+                h_coms = tuple(kzg.commit_mont_batch([
+                    t_mont[:shard], t_mont[shard : 2 * shard],
+                    t_mont[2 * shard : 3 * shard]]))
+            else:
+                h_coms = (
+                    kzg.commit_mont(t_mont[:shard]),
+                    kzg.commit_mont(t_mont[shard : 2 * shard]),
+                    kzg.commit_mont(t_mont[2 * shard : 3 * shard]),
+                )
         if ck is not None:
             ck.save("quotient", (t1, t2, t3, h_coms))
     _mark("round3 quotient")

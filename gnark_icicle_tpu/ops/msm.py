@@ -710,9 +710,11 @@ class MSMKernel:
     def msm_batch(self, points, inf_mask, scalar_limbs, c: int):
         """M equal-size MSMs as ONE Pippenger dispatch set.
 
-        points: affine pytree, leaves (M, N, K); inf_mask: (M, N) bool;
-        scalar_limbs: (M, N, Kr); c: shared window bits. Returns the
-        projective pytree with a leading M axis (result m = Σ_i s[m,i]·P[m,i]).
+        points: affine pytree, leaves (M, N, K) — or (1, N, K) for a
+        SHARED point table (e.g. KZG commits of M polynomials over one
+        SRS; no M-fold point copy); inf_mask: (M, N) bool; scalar_limbs:
+        (M, N, Kr); c: shared window bits. Returns the projective pytree
+        with a leading M axis (result m = Σ_i s[m,i]·P[m,i]).
 
         Role parity: ICICLE's MSM ``batch_size`` config (one launch computes
         many MSMs — msm.go BatchSize / icicle.go:312-324 MsmOnDevice called
@@ -731,11 +733,13 @@ class MSMKernel:
         """
         curve = self.curve
         M, n = inf_mask.shape
+        m_pts = jax.tree.leaves(points)[0].shape[0]  # M, or 1 = shared
         small_max = int(os.environ.get("GNARK_TPU_SMALL_MSM", "128"))
         if n <= small_max:  # static: compile-lean path per problem
             outs = [
                 self._msm_small(
-                    jax.tree.map(lambda a, m=m: a[m], points),
+                    jax.tree.map(
+                        lambda a, m=m: a[m if m_pts > 1 else 0], points),
                     inf_mask[m], scalar_limbs[m],
                 )
                 for m in range(M)
@@ -785,8 +789,12 @@ class MSMKernel:
         win_of_lane = (jnp.arange(L, dtype=jnp.int32) // B)[lane_order]
         # order holds LOCAL point indices; lift to GLOBAL rows of the
         # concatenated point table so the shared gather resolves problem m
-        prob_of_win = jnp.arange(MW, dtype=jnp.int32) // W
-        order_flat = (order + (prob_of_win * n)[:, None]).reshape(-1)
+        # (shared table: every problem reads the same N rows — no lift)
+        if m_pts > 1:
+            prob_of_win = jnp.arange(MW, dtype=jnp.int32) // W
+            order_flat = (order + (prob_of_win * n)[:, None]).reshape(-1)
+        else:
+            order_flat = order.reshape(-1)
         sign_flat = sorted_sign.reshape(-1)
 
         stage_sizes = []
@@ -798,7 +806,7 @@ class MSMKernel:
             stage_sizes = [L]
 
         cat_points = jax.tree.map(
-            lambda a: a.reshape((M * n,) + a.shape[2:]), points
+            lambda a: a.reshape((m_pts * n,) + a.shape[2:]), points
         )
 
         from .ec import DevField, DevField2

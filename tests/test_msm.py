@@ -324,3 +324,36 @@ def test_msm_batch_small_path():
         aff = G1_DEV.to_affine_host(
             jax.tree.map(lambda a: a[None], got_m), bn254.P)[0]
         assert aff == host_msm(bn254.G1, scal_all[m], pts_all[m])
+
+
+def test_msm_batch_shared_points():
+    """msm_batch with a SHARED point table (leading dim 1 — the KZG
+    commit_batch layout) must equal per-problem msm over the same
+    points, bit-identically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnark_icicle_tpu.ops.msm import MSMKernel, pick_window, \
+        scalars_to_limbs
+
+    rng = random.Random(79)
+    M, n = 3, 160
+    kern = MSMKernel(G1_DEV, scalar_bits=bn254.R.bit_length())
+    f = G1_DEV.f
+    n_limbs = -(-bn254.R.bit_length() // 16)
+    pts = [bn254.G1.random_point(rng) for _ in range(n)]
+    x = jnp.asarray(f.encode([p[0] for p in pts]))
+    y = jnp.asarray(f.encode([p[1] for p in pts]))
+    inf = jnp.zeros(n, bool)
+    scal_h = [[rng.randrange(bn254.R) for _ in range(n)] for _ in range(M)]
+    scal = jnp.stack(
+        [jnp.asarray(scalars_to_limbs(s, n_limbs)) for s in scal_h])
+    c = pick_window(n)
+    batched = kern.msm_batch(
+        (x[None], y[None]), jnp.broadcast_to(inf, (M, n)), scal, c)
+    for m in range(M):
+        sep = kern.msm((x, y), inf, scal[m], c)
+        got_m = jax.tree.map(lambda a, m=m: a[m], batched)
+        for a, b in zip(jax.tree.leaves(got_m), jax.tree.leaves(sep)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -75,3 +75,21 @@ def test_plonk_copy_constraints():
     pub, sec = SelectCircuit(cond=1, t=10, f=20, out=10).witness_values(Q)
     proof = plonk.prove(cs, pk, pub, sec, CURVE, rng=rng)
     plonk.verify(proof, vk, pub, CURVE)
+
+
+def test_plonk_prove_verify_batch_msm(cubic_setup, monkeypatch):
+    """GNARK_TPU_BATCH_MSM=1 routes the a/b/c wire commits (and on the
+    device engine the t1/t2/t3 shard commits) through kzg.commit_batch —
+    one msm_batch over the shared SRS table. Proof must verify and the
+    wire commitments must be IDENTICAL to the unbatched prover's under
+    the same rng (msm_batch is bit-identical to separate msm calls)."""
+    cs, pk, vk = cubic_setup
+    pub, sec = Cubic(x=3, y=35).witness_values(Q)
+    base = plonk.prove(cs, pk, pub, sec, CURVE, rng=random.Random(97))
+    monkeypatch.setenv("GNARK_TPU_BATCH_MSM", "1")
+    proof = plonk.prove(cs, pk, pub, sec, CURVE, rng=random.Random(97))
+    plonk.verify(proof, vk, pub, CURVE)
+    from gnark_icicle_tpu.io.plonk_serialize import plonk_proof_to_bytes
+
+    assert plonk_proof_to_bytes(CURVE, proof) == \
+        plonk_proof_to_bytes(CURVE, base)

@@ -112,7 +112,10 @@ def _quotient_tables(ctx, dom4, n: int, g: int, eta: int, q: int):
         jnp.broadcast_to(n_m, (4 * n, F.K)), F.sub(xs, one_m)
     )
     l1 = F.mont_mul(zh_vals, F.mont_inv(dens))
-    _DOMAIN_TABLES[key] = (xs, l1, zh_inv)
+    # held as uint16 (limbs are 16-bit): at a 2^20 domain the 4n tables
+    # are 3×256 MB as int32 — half of that mattered in the r5e HBM OOM
+    _DOMAIN_TABLES[key] = (xs.astype(jnp.uint16), l1.astype(jnp.uint16),
+                           zh_inv.astype(jnp.uint16))
     return _DOMAIN_TABLES[key]
 
 
@@ -171,6 +174,15 @@ def _quotient_chunk_fn(F, n_qcp: int):
     @jax.jit
     def chunk_fn(consts, A, B, C, z, zw, qk, ql, qr, qm, qo,
                  s1, s2, s3, xs_c, l1_c, zh_c, *qcps):
+        # inputs arrive as uint16 (the 4n eval arrays stay packed in HBM
+        # — 13 of them at int32 exhausted the chip at a 2^20 domain,
+        # r5e); widen to the kernel's int32 limb form per chunk
+        (A, B, C, z, zw, qk, ql, qr, qm, qo, s1, s2, s3, xs_c, l1_c,
+         zh_c) = (a.astype(jnp.int32) for a in (
+            A, B, C, z, zw, qk, ql, qr, qm, qo, s1, s2, s3, xs_c, l1_c,
+            zh_c))
+        qcps = tuple(a.astype(jnp.int32) for a in qcps)
+
         def bc(i):
             return jnp.broadcast_to(consts[i], A.shape).astype(jnp.int32)
 
@@ -240,13 +252,20 @@ def _linear_combo_dev(ctx, F, terms, length: int, q: int):
 
 def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
           curve, rng=None, checkpoint_dir: str | None = None,
-          fs_hash: str = "sha256", engine: str = "device") -> Proof:
+          fs_hash: str = "sha256", engine: str = "device",
+          commitment_hash: str | tuple = "sha256") -> Proof:
     """PLONK prove; checkpoint_dir persists the expensive stages (witness
     solve, round-1 wire commitments incl. their blinding, permutation Z,
     quotient) so a preempted run resumes — same scheme as groth16.prove.
     engine: "device" (TPU kernels) or "host" (pure big-int NTT/quotient/
     KZG — ≙ the reference's non-accelerated prover; zero warmup, right
-    for small systems)."""
+    for small systems).
+    commitment_hash: BSB22 commitment hash-to-field mode — "sha256" (the
+    gnark-parity RFC 9380 path, DST "BSB22-Plonk") or ("mimc",
+    outer_modulus) for recursion-friendly proofs whose commitment wire an
+    outer circuit replays natively (≙ recursion.NewShort installed via
+    backend.WithProverHashToFieldFunction; same convention as
+    groth16.prove's commitment_hash)."""
     q = curve.fr.modulus
     rand = rng.randrange if rng is not None else (
         lambda m: secrets.randbelow(m - 1) + 1
@@ -263,8 +282,9 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             b"plonkck" + cs.nb_gates.to_bytes(8, "big")
             + pk.log_n.to_bytes(2, "big")
             # beta/gamma (and so the checkpointed Z / quotient stages)
-            # depend on the transcript hash — bind the mode
-            + fs_hash.encode()
+            # depend on the transcript hash — bind the mode; the round-1
+            # commitment wire depends on the commitment-hash mode
+            + fs_hash.encode() + repr(commitment_hash).encode()
             + b"".join(int(v).to_bytes(32, "big") for v in public_values)
             # bind the secret witness too: resuming with different secrets
             # must invalidate the saved solved witness
@@ -318,7 +338,13 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             if len(coeffs) < 4 * n:
                 plain = np.pad(
                     plain, [(0, 4 * n - len(coeffs)), (0, 0)])
-            return dom4.coset_ntt_nat(ctx.fr_mont(plain))
+            # packed uint16 (limbs are 16-bit): 13 of these 4n arrays
+            # resident as int32 = 3.5 GB at a 2^20 domain — the r5e HBM
+            # OOM; the quotient chunk fn widens per chunk
+            import jax.numpy as jnp
+
+            return dom4.coset_ntt_nat(ctx.fr_mont(plain)).astype(
+                jnp.uint16)
 
     # ---- stage 1: solve + wire polynomials --------------------------------
     # BSB22 override: the placeholder hint becomes a KZG commitment to the
@@ -349,10 +375,21 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
             com = kzg.commit(coeffs)
             bsb22_coms[i] = com
             pi2_coeffs[i] = coeffs
-            val = hash_to_fr(
-                g1_to_bytes(curve, com, compressed=False),
-                b"BSB22-Plonk", qmod,
-            )[0]
+            if (isinstance(commitment_hash, tuple)
+                    and commitment_hash[0] == "mimc"):
+                # recursion-friendly: the outer circuit replays this MiMC
+                # natively (std/recursion/{plonk,native_plonk}.py); PLONK
+                # absorbs only the commitment point (no committed values,
+                # matching the sha path's g1_to_bytes-only input)
+                from ..hash_to_field import mimc_commitment_hash
+
+                val = mimc_commitment_hash(
+                    commitment_hash[1], qmod, curve.fp.modulus, com, [])
+            else:
+                val = hash_to_fr(
+                    g1_to_bytes(curve, com, compressed=False),
+                    b"BSB22-Plonk", qmod,
+                )[0]
             commitment_vals[i] = val
             return [val]
 
@@ -528,6 +565,7 @@ def prove(cs: SparseR1CS, pk: ProvingKey, public_values, secret_values,
                 curve.fr.multiplicative_generator,
                 curve.fr.root_of_unity(log_n + 2), q,
             )
+            ev.clear()  # free the 4n coset evals (~1.8 GB at 2^20)
             t_coeffs = F.decode_plain(np.asarray(F.from_mont(t_mont)))
             # T has degree ≤ 3n+5; split into 3 shards of n+2
             t1 = t_coeffs[:shard]

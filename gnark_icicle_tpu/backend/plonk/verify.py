@@ -24,7 +24,11 @@ class PlonkVerificationError(Exception):
 
 
 def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
-           fs_hash: str = "sha256") -> None:
+           fs_hash: str = "sha256",
+           commitment_hash: str | tuple = "sha256") -> None:
+    """commitment_hash must match the prover's mode: "sha256" (RFC 9380,
+    DST "BSB22-Plonk") or ("mimc", outer_modulus) for recursion-friendly
+    proofs (see plonk.prove)."""
     q = curve.fr.modulus
     if len(public_values) != vk.nb_public:
         raise PlonkVerificationError(
@@ -88,15 +92,21 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
     # point and add it like a public input (≙ verify.go:173-195 with DST
     # "BSB22-Plonk"; our commitment indexes are absolute gate rows)
     if nb_commitments:
-        from ..hash_to_field import hash_to_fr
+        from ..hash_to_field import hash_to_fr, mimc_commitment_hash
         from ...io.serialize import g1_to_bytes
 
         for i, ci in enumerate(vk.commitment_constraint_indexes):
-            val = hash_to_fr(
-                g1_to_bytes(curve, proof.bsb22_commitments[i],
-                            compressed=False),
-                b"BSB22-Plonk", q,
-            )[0]
+            if (isinstance(commitment_hash, tuple)
+                    and commitment_hash[0] == "mimc"):
+                val = mimc_commitment_hash(
+                    commitment_hash[1], q, curve.fp.modulus,
+                    proof.bsb22_commitments[i], [])
+            else:
+                val = hash_to_fr(
+                    g1_to_bytes(curve, proof.bsb22_commitments[i],
+                                compressed=False),
+                    b"BSB22-Plonk", q,
+                )[0]
             pi = (pi + val * lagrange_at(ci)) % q
 
     l_z = proof.batch_claimed[1]
@@ -171,9 +181,11 @@ def verify(proof: Proof, vk: VerifyingKey, public_values, curve,
 
 
 def is_valid(proof: Proof, vk: VerifyingKey, public_values, curve,
-             fs_hash: str = "sha256") -> bool:
+             fs_hash: str = "sha256",
+             commitment_hash: str | tuple = "sha256") -> bool:
     try:
-        verify(proof, vk, public_values, curve, fs_hash=fs_hash)
+        verify(proof, vk, public_values, curve, fs_hash=fs_hash,
+               commitment_hash=commitment_hash)
         return True
     except PlonkVerificationError:
         return False

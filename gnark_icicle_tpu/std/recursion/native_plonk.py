@@ -47,20 +47,17 @@ class NativePlonkProof:
     lro: list
     z_com: tuple
     h_coms: list
-    batch_claimed: list
+    batch_claimed: list          # [lin, l, r, o, s1, s2, qcp...]
     batch_h: tuple
     z_shifted_claimed: object
     z_shifted_h: tuple
+    bsb22_commitments: tuple = ()  # BSB22 G1 commitments ((x, y) pairs)
 
 
 class NativePlonkVerifier:
     """≙ recursion/plonk.Verifier[sw_bls12377] with circuit-constant vk."""
 
     def __init__(self, api, vk):
-        if vk.commitment_constraint_indexes:
-            raise NotImplementedError(
-                "recursion over BSB22-commitment PLONK proofs: later round"
-            )
         self.api = api
         self.vk = vk
         self.pairing = BLS12377Pairing(api)
@@ -92,7 +89,45 @@ class NativePlonkVerifier:
             batch_h=g1(proof.batch_h),
             z_shifted_claimed=self.fr.constant(int(proof.z_shifted_claimed)),
             z_shifted_h=g1(proof.z_shifted_h),
+            bsb22_commitments=tuple(
+                g1(cm) for cm in (proof.bsb22_commitments or ())),
         )
+
+    # -- BSB22 commitment wire re-derivation ---------------------------------
+    def _assert_bits_canonical(self, bits, modulus: int):
+        """Σ bitsᵢ·2^i ≤ q−1 (kills the +q alias of api.to_binary)."""
+        api = self.api
+        c = modulus - 1
+        eq = 1
+        for i in range(len(bits) - 1, -1, -1):
+            if (c >> i) & 1:
+                eq = api.mul(eq, bits[i])
+            else:
+                api.assert_is_equal(api.mul(eq, bits[i]), 0)
+
+    def _commitment_values(self, cms):
+        """Replay backend.hash_to_field.mimc_commitment_hash over the
+        outer-native field (= BW6-761 Fr = BLS12-377 Fp, so the point
+        coordinates absorb DIRECTLY — the native 2-chain's whole point);
+        PLONK absorbs only the point. The inner proof must come from
+        plonk.prove(..., commitment_hash=("mimc", b377.P))."""
+        from ...backend.hash_to_field import MIMC_COMMITMENT_TAG
+        from ..hash.mimc import MiMC
+
+        api = self.api
+        nq = b377.P  # outer BW6-761 scalar field == inner base field
+        out_bits = min(b377.R.bit_length(), nq.bit_length()) - 1
+        vals = []
+        for cm in cms:
+            m = MiMC(api, nq)
+            m.write(int.from_bytes(MIMC_COMMITMENT_TAG, "big") % nq)
+            m.write(cm[0])
+            m.write(cm[1])
+            d = m.sum()
+            bits = api.to_binary(d, nq.bit_length())
+            self._assert_bits_canonical(bits, nq)
+            vals.append(api.from_binary(bits[:out_bits]))
+        return vals, out_bits
 
     # -- helpers -------------------------------------------------------------
     def _coord_limb_elements(self, v):
@@ -138,29 +173,42 @@ class NativePlonkVerifier:
             for pv in public_inputs
         ]
 
+        cc_idx = list(vk.commitment_constraint_indexes or ())
+        cms = list(proof.bsb22_commitments or ())
+        if len(cms) != len(cc_idx):
+            raise ValueError(
+                f"expected {len(cc_idx)} BSB22 commitments, got {len(cms)}")
+        if len(proof.batch_claimed) != 6 + len(cc_idx):
+            raise ValueError("wrong number of claimed values")
+
         # on-curve + subgroup membership of every attacker-supplied point
         # (φ-eigenvalue fast check; BLS12-377's G1 cofactor is ≈2^125, so
         # on-curve alone would admit small-order components)
         for pt in (*proof.lro, proof.z_com, *proof.h_coms,
-                   proof.batch_h, proof.z_shifted_h):
+                   proof.batch_h, proof.z_shifted_h, *cms):
             self.pairing.assert_g1_member(pt)
 
         # ---- transcript replay (≙ MiMCTranscript, host-bit-identical) -----
         ts = EmulatedNamedTranscript(self.fr, _CHALLENGES)
         for nm in ("s1", "s2", "s3", "ql", "qr", "qm", "qo", "qk"):
             self._bind_const_point(ts, "gamma", vk.commitments[nm])
+        for i in range(len(cms)):  # ≙ bindPublicData's Qcp binds
+            self._bind_const_point(ts, "gamma", vk.commitments[f"qcp{i}"])
         ts.bind("gamma", list(public_inputs))
         for cm in proof.lro:
             self._absorb_point(ts, "gamma", cm)
         gamma = ts.compute_challenge("gamma")
         beta = ts.compute_challenge("beta")
+        for cm in cms:  # bsb22 commitments bind before Z (host order)
+            self._absorb_point(ts, "alpha", cm)
         self._absorb_point(ts, "alpha", proof.z_com)
         alpha = ts.compute_challenge("alpha")
         for cm in proof.h_coms:
             self._absorb_point(ts, "zeta", cm)
         zeta = ts.compute_challenge("zeta")
 
-        lin_z, l_z, r_z, o_z, s1_z, s2_z = proof.batch_claimed
+        lin_z, l_z, r_z, o_z, s1_z, s2_z = proof.batch_claimed[:6]
+        qcp_z = list(proof.batch_claimed[6:])
         zu = proof.z_shifted_claimed
 
         # ---- linearization constant at ζ (emulated inner-Fr algebra) ------
@@ -176,6 +224,13 @@ class NativePlonkVerifier:
         pi = s.constant(0)
         for j, pv in enumerate(public_inputs):
             pi = s.add(pi, s.mul(pv, lagrange_at(j)))
+        if cms:
+            # commitment Qk injections: PI += hash(C_i)·L_{ci}(ζ)
+            c_vals, out_bits = self._commitment_values(cms)
+            for ci, cv in zip(cc_idx, c_vals):
+                pi = s.add(pi, s.mul(
+                    self.fr.from_native(cv, n_bits=out_bits),
+                    lagrange_at(ci)))
         l1_den = s.mul(s.sub(zeta, one), s.constant(n))
         l1_zeta = s.mul(zh_zeta, s.inverse(l1_den))
         alpha2_l1 = s.mul(s.mul(alpha, alpha), l1_zeta)
@@ -219,6 +274,8 @@ class NativePlonkVerifier:
         lin_digest = g1.add(lin_digest, self._smul(proof.z_com, z_coef))
         for h_pt, sc in zip(proof.h_coms, (h1_coef, h2_coef, h3_coef)):
             lin_digest = g1.add(lin_digest, self._smul(h_pt, sc))
+        for cm, qz in zip(cms, qcp_z):  # BSB22 columns: qcp_z(ζ)·C_i
+            lin_digest = g1.add(lin_digest, self._smul(cm, qz))
         lin_aff = self._to_affine(lin_digest)
 
         # ---- fold the batch opening with the KZG γ challenge --------------
@@ -229,6 +286,8 @@ class NativePlonkVerifier:
             self._absorb_point(fts, "gamma", cm)
         for nm in ("s1", "s2"):
             self._bind_const_point(fts, "gamma", vk.commitments[nm])
+        for i in range(len(cms)):
+            self._bind_const_point(fts, "gamma", vk.commitments[f"qcp{i}"])
         fts.bind("gamma", list(proof.batch_claimed))
         fts.bind("gamma", [zu])
         gamma_kzg = fts.compute_challenge("gamma")
@@ -237,6 +296,8 @@ class NativePlonkVerifier:
                    *(g1.from_affine(p) for p in proof.lro),
                    const_pt(vk.commitments["s1"]),
                    const_pt(vk.commitments["s2"])]
+        for i in range(len(cms)):
+            digests.append(const_pt(vk.commitments[f"qcp{i}"]))
         fold_c = None
         fold_v = s.constant(0)
         gi = None  # γ⁰ = 1

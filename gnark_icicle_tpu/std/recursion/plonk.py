@@ -21,6 +21,13 @@ with a transcript-derived u into ONE two-pair pairing check —
 e(F₁ + u·F₂, G₂) · e(−(W₁ + u·W₂), τG₂) == 1 with
 Fᵢ = Cᵢ − vᵢ·G + zᵢ·Wᵢ (≙ kzg.FoldProof/BatchVerifyMultiPoints).
 
+BSB22-commitment proofs are supported (≙ verifier.go Bsb22Commitments):
+the commitment points bind into the transcript before Z, their Qk
+injection re-derives in-circuit from a native MiMC replay of the
+commitment-point hash (the inner proof must come from
+``plonk.prove(..., commitment_hash=("mimc", outer_modulus))``), and the
+qcp columns join the linearization digest and the KZG batch fold.
+
 Engine-level today like the other pairing-based gadgets (ROADMAP:
 range-table emulated mul for compilation).
 """
@@ -48,10 +55,11 @@ class PlonkVerifierProof:
     lro: list                    # 3 AffinePoints
     z_com: AffinePoint
     h_coms: list                 # 3 AffinePoints
-    batch_claimed: list          # scalars [lin, l, r, o, s1, s2]
+    batch_claimed: list          # scalars [lin, l, r, o, s1, s2, qcp...]
     batch_h: AffinePoint         # W₁: batched opening at ζ
     z_shifted_claimed: object    # scalar Z(ωζ)
     z_shifted_h: AffinePoint     # W₂: Z opening at ωζ
+    bsb22_commitments: tuple = ()  # BSB22 G1 commitments (AffinePoints)
 
 
 class _NativeScalars:
@@ -147,10 +155,6 @@ class PlonkVerifier:
 
     def __init__(self, api, native_modulus: int, vk,
                  curve_id: str = "bn254"):
-        if vk.commitment_constraint_indexes:
-            raise NotImplementedError(
-                "recursion over BSB22-commitment PLONK proofs: later round"
-            )
         self.api = api
         self.q = native_modulus
         self.vk = vk
@@ -197,6 +201,8 @@ class PlonkVerifier:
             batch_h=g1(proof.batch_h),
             z_shifted_claimed=self.s.constant(int(proof.z_shifted_claimed)),
             z_shifted_h=g1(proof.z_shifted_h),
+            bsb22_commitments=tuple(
+                g1(cm) for cm in (proof.bsb22_commitments or ())),
         )
 
     # -- helpers -------------------------------------------------------------
@@ -217,6 +223,54 @@ class PlonkVerifier:
         """vk commitments are circuit constants; bind their host limbs."""
         ts.bind(name, point_limbs(None, host_pt, n_limbs=self.curve.fp.k))
 
+    # -- BSB22 commitment wire re-derivation ---------------------------------
+    def _assert_bits_canonical(self, bits, modulus: int):
+        """Kill the +q alias of a full-width api.to_binary: constrain
+        Σ bitsᵢ·2^i ≤ q−1 (constant-bound MSB-scan comparator)."""
+        api = self.api
+        c = modulus - 1
+        eq = 1
+        for i in range(len(bits) - 1, -1, -1):
+            if (c >> i) & 1:
+                eq = api.mul(eq, bits[i])
+            else:
+                api.assert_is_equal(api.mul(eq, bits[i]), 0)
+
+    def _commitment_values(self, cms):
+        """Replay backend.hash_to_field.mimc_commitment_hash over the
+        outer-native field for each BSB22 commitment point — PLONK absorbs
+        ONLY the point (the sha path hashes g1_to_bytes alone; ≙
+        verify.go:173-195 solveCommitmentWire with the recursion hash).
+        Returns the truncated digests as native value vars + the bit width."""
+        from ...backend.hash_to_field import MIMC_COMMITMENT_TAG
+        from ..hash.mimc import MiMC
+
+        api = self.api
+        nq = self.q
+        fp = self.curve.fp
+        assert fp.w == 64, "absorb convention requires w=64 limb presets"
+        out_bits = min(self._r.bit_length(), nq.bit_length()) - 1
+        vals = []
+        for cm in cms:
+            m = MiMC(api, nq)
+            m.write(int.from_bytes(MIMC_COMMITMENT_TAG, "big") % nq)
+            for coord in (cm.x, cm.y):
+                el = fp.reduce(coord)
+                fp.assert_canonical(el)
+                for limb in el.limbs:
+                    m.write(limb)
+            d = m.sum()
+            bits = api.to_binary(d, nq.bit_length())
+            self._assert_bits_canonical(bits, nq)
+            vals.append(api.from_binary(bits[:out_bits]))
+        return vals, out_bits
+
+    def _to_inner_scalar(self, val, out_bits: int):
+        """A native value var as an inner-Fr scalar for the s algebra."""
+        if isinstance(self.s, _NativeScalars):
+            return val  # same-curve: inner Fr IS the native field
+        return self.curve.fr.from_native(val, n_bits=out_bits)
+
     # -- the verifier --------------------------------------------------------
     def assert_proof(self, proof: PlonkVerifierProof, public_inputs) -> None:
         """Constrain the proof valid for the given public inputs
@@ -235,26 +289,39 @@ class PlonkVerifier:
             for pv in public_inputs
         ]
 
+        cc_idx = list(vk.commitment_constraint_indexes or ())
+        cms = list(proof.bsb22_commitments or ())
+        if len(cms) != len(cc_idx):
+            raise ValueError(
+                f"expected {len(cc_idx)} BSB22 commitments, got {len(cms)}")
+        if len(proof.batch_claimed) != 6 + len(cc_idx):
+            raise ValueError("wrong number of claimed values")
+
         for pt in (*proof.lro, proof.z_com, *proof.h_coms,
-                   proof.batch_h, proof.z_shifted_h):
+                   proof.batch_h, proof.z_shifted_h, *cms):
             c.assert_on_curve(pt)  # G1 binding for the pairing inputs
 
         # ---- transcript replay (≙ MiMCTranscript, host-bit-identical) -----
         ts = self._mk_ts(_CHALLENGES)
         for nm in ("s1", "s2", "s3", "ql", "qr", "qm", "qo", "qk"):
             self._bind_const_point(ts, "gamma", vk.commitments[nm])
+        for i in range(len(cms)):  # ≙ bindPublicData's Qcp binds
+            self._bind_const_point(ts, "gamma", vk.commitments[f"qcp{i}"])
         ts.bind("gamma", list(public_inputs))
         for cm in proof.lro:
             self._absorb_point(ts, "gamma", cm)
         gamma = ts.compute_challenge("gamma")
         beta = ts.compute_challenge("beta")
+        for cm in cms:  # bsb22 commitments bind before Z (host order)
+            self._absorb_point(ts, "alpha", cm)
         self._absorb_point(ts, "alpha", proof.z_com)
         alpha = ts.compute_challenge("alpha")
         for cm in proof.h_coms:
             self._absorb_point(ts, "zeta", cm)
         zeta = ts.compute_challenge("zeta")
 
-        lin_z, l_z, r_z, o_z, s1_z, s2_z = proof.batch_claimed
+        lin_z, l_z, r_z, o_z, s1_z, s2_z = proof.batch_claimed[:6]
+        qcp_z = list(proof.batch_claimed[6:])
         zu = proof.z_shifted_claimed
 
         # ---- linearization constant at ζ (inner-Fr algebra) ---------------
@@ -270,6 +337,14 @@ class PlonkVerifier:
         pi = s.constant(0)
         for j, pv in enumerate(public_inputs):
             pi = s.add(pi, s.mul(pv, lagrange_at(j)))
+        if cms:
+            # commitment Qk injections: PI += hash(C_i)·L_{ci}(ζ), the
+            # hash replayed in-circuit (the inner proof must come from
+            # plonk.prove(..., commitment_hash=("mimc", outer_modulus)))
+            c_vals, out_bits = self._commitment_values(cms)
+            for ci, cv in zip(cc_idx, c_vals):
+                pi = s.add(pi, s.mul(self._to_inner_scalar(cv, out_bits),
+                                     lagrange_at(ci)))
         l1_den = s.mul(s.sub(zeta, one), s.constant(n))
         l1_zeta = s.mul(zh_zeta, s.inverse(l1_den))
         alpha2_l1 = s.mul(s.mul(alpha, alpha), l1_zeta)
@@ -312,6 +387,8 @@ class PlonkVerifier:
         lin_digest = c.add_unified(lin_digest, smul(proof.z_com, z_coef))
         for h_pt, sc in zip(proof.h_coms, (h1_coef, h2_coef, h3_coef)):
             lin_digest = c.add_unified(lin_digest, smul(h_pt, sc))
+        for cm, qz in zip(cms, qcp_z):  # BSB22 columns: qcp_z(ζ)·C_i
+            lin_digest = c.add_unified(lin_digest, smul(cm, qz))
 
         # ---- fold the batch opening with the KZG γ challenge --------------
         # (≙ kzg.FoldProof's deriveGamma: point, digests, claimed values,
@@ -323,6 +400,8 @@ class PlonkVerifier:
             self._absorb_point(fts, "gamma", cm)
         for nm in ("s1", "s2"):
             self._bind_const_point(fts, "gamma", vk.commitments[nm])
+        for i in range(len(cms)):
+            self._bind_const_point(fts, "gamma", vk.commitments[f"qcp{i}"])
         fts.bind("gamma", list(proof.batch_claimed))
         fts.bind("gamma", [zu])
         gamma_kzg = fts.compute_challenge("gamma")
@@ -330,6 +409,8 @@ class PlonkVerifier:
         digests = [lin_digest, *proof.lro,
                    c.constant_point(vk.commitments["s1"]),
                    c.constant_point(vk.commitments["s2"])]
+        for i in range(len(cms)):
+            digests.append(c.constant_point(vk.commitments[f"qcp{i}"]))
         fold_c = None
         fold_v = s.constant(0)
         gi = None  # None encodes γ⁰ = 1 (skip the first scalar mul)

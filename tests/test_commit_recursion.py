@@ -231,3 +231,90 @@ def test_emulated_cross_curve_commitment_recursion():
     )
     with pytest.raises(EngineUnsatisfiedError):
         gv.assert_proof(bad, pubs)
+
+
+# ---- PLONK: recursion over BSB22-commitment PLONK proofs -----------------
+# (≙ reference std/recursion/plonk/verifier.go: Bsb22Commitments in the
+# transcript + PI via in-circuit hash + qcp columns in the lin digest and
+# the batch fold)
+
+from gnark_icicle_tpu.backend import plonk  # noqa: E402
+
+
+def _make_inner_plonk(curve_mod, curve, outer_mod, seed=13):
+    cs = compile_circuit(curve_mod, InnerCommit, builder="scs")
+    pk, vk = plonk.setup(cs, curve, rng=random.Random(seed))
+    pub, sec = [9], [3]
+    proof = plonk.prove(cs, pk, pub, sec, curve, rng=random.Random(7),
+                        fs_hash="mimc",
+                        commitment_hash=("mimc", outer_mod))
+    plonk.verify(proof, vk, pub, curve, fs_hash="mimc",
+                 commitment_hash=("mimc", outer_mod))
+    return vk, proof, pub
+
+
+@pytest.fixture(scope="module")
+def inner_plonk_commit_377():
+    return _make_inner_plonk(b377.R, b377.BLS12_377, b377.P)
+
+
+def test_plonk_mimc_commitment_hash_mismatch_rejected(
+        inner_plonk_commit_377):
+    """A proof produced with the MiMC commitment hash must NOT verify
+    under the default SHA commitment hash (different commitment wires)."""
+    vk, proof, pub = inner_plonk_commit_377
+    assert not plonk.is_valid(proof, vk, pub, b377.BLS12_377,
+                              fs_hash="mimc")
+    assert plonk.is_valid(proof, vk, pub, b377.BLS12_377, fs_hash="mimc",
+                          commitment_hash=("mimc", b377.P))
+
+
+@pytest.mark.slow
+def test_native_plonk_recursion_commitment_proof(inner_plonk_commit_377):
+    from gnark_icicle_tpu.std.recursion.native_plonk import (
+        NativePlonkVerifier,
+    )
+
+    vk, proof, pub = inner_plonk_commit_377
+    pv = NativePlonkVerifier(Engine(b377.P), vk)
+    pv.assert_proof(pv.proof_witness(proof), pub)
+
+
+@pytest.mark.slow
+def test_native_plonk_recursion_rejects_tampered_commitment(
+        inner_plonk_commit_377):
+    from gnark_icicle_tpu.std.recursion.native_plonk import (
+        NativePlonkVerifier,
+    )
+
+    vk, proof, pub = inner_plonk_commit_377
+    pv = NativePlonkVerifier(Engine(b377.P), vk)
+    bad = pv.proof_witness(proof)
+    nf = pv.nf
+    other = b377.G1.scalar_mul(proof.bsb22_commitments[0], 2)
+    bad.bsb22_commitments = (
+        (nf.constant(other[0]), nf.constant(other[1])),
+    )
+    with pytest.raises(EngineUnsatisfiedError):
+        pv.assert_proof(bad, pub)
+
+
+@pytest.mark.slow
+def test_emulated_plonk_recursion_commitment_proof():
+    """Same-curve (BN254-in-BN254) PLONK commitment recursion through the
+    emulated verifier gadget."""
+    from gnark_icicle_tpu.std.recursion.plonk import PlonkVerifier
+
+    vk, proof, pub = _make_inner_plonk(bn254.R, bn254.BN254, bn254.R,
+                                       seed=23)
+    pv = PlonkVerifier(Engine(bn254.R), bn254.R, vk)
+    pv.assert_proof(pv.proof_witness(proof), pub)
+
+    bad = pv.proof_witness(proof)
+    fp = pv.curve.fp
+    other = bn254.G1.scalar_mul(proof.bsb22_commitments[0], 2)
+    bad.bsb22_commitments = (
+        type(bad.z_com)(fp.constant(other[0]), fp.constant(other[1])),
+    )
+    with pytest.raises(EngineUnsatisfiedError):
+        pv.assert_proof(bad, pub)

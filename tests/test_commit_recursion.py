@@ -318,3 +318,29 @@ def test_emulated_plonk_recursion_commitment_proof():
     )
     with pytest.raises(EngineUnsatisfiedError):
         pv.assert_proof(bad, pub)
+
+
+@pytest.mark.slow
+def test_emulated_cross_curve_plonk_commitment_recursion():
+    """BLS12-381 commitment PLONK proof verified inside a BN254 circuit:
+    the commitment-wire hash replays over the OUTER native field while
+    the scalar layer (transcript, Lagrange, folds) runs through the
+    emulated inner Fr — the _to_inner_scalar emulated branch."""
+    from gnark_icicle_tpu.curves import bls12_381 as b381
+    from gnark_icicle_tpu.std.recursion.plonk import PlonkVerifier
+
+    vk, proof, pub = _make_inner_plonk(b381.R, b381.BLS12_381, bn254.R,
+                                       seed=29)
+    pv = PlonkVerifier(Engine(bn254.R), bn254.R, vk,
+                       curve_id="bls12-381")
+    pubs = [pv.curve.fr.constant(int(pub[0]))]
+    pv.assert_proof(pv.proof_witness(proof), pubs)
+
+    bad = pv.proof_witness(proof)
+    fp = pv.curve.fp
+    other = b381.G1.scalar_mul(proof.bsb22_commitments[0], 2)
+    bad.bsb22_commitments = (
+        type(bad.z_com)(fp.constant(other[0]), fp.constant(other[1])),
+    )
+    with pytest.raises(EngineUnsatisfiedError):
+        pv.assert_proof(bad, pubs)
